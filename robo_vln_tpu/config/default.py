@@ -1,0 +1,208 @@
+"""Experiment config tree.
+
+Mirrors every stanza of the reference experiment config
+(/root/reference/robo_vln_baselines/config/default.py:10-290) so the paper
+configs port unchanged, and adds a TPU stanza (mesh axes, precision, remat,
+bucketing) that replaces the reference's GPU/DDP knobs with jax.sharding
+equivalents.
+"""
+
+from typing import List, Optional, Union
+
+from .task import get_task_config
+from .tree import ConfigTree
+
+_C = ConfigTree()
+_C.BASE_TASK_CONFIG_PATH = ""
+_C.TASK_CONFIG = ConfigTree()
+_C.CMD_TRAILING_OPTS = []
+_C.TRAINER_NAME = "robo_vln_trainer"
+_C.ENV_NAME = "VLNCEDaggerEnv"
+_C.SIMULATOR_GPU_ID = [0]
+_C.NUM_PROCESSES = 1
+_C.VIDEO_OPTION = []
+_C.VIDEO_DIR = "videos/debug"
+_C.TENSORBOARD_DIR = "data/tensorboard_dirs/debug"
+_C.SENSORS = ["RGB_SENSOR", "DEPTH_SENSOR"]
+_C.CHECKPOINT_FOLDER = "data/checkpoints"
+_C.LOG_FILE = "train.log"
+_C.EVAL_CKPT_PATH_DIR = "data/checkpoints"
+_C.PLOT_ATTENTION = False
+
+# ---------------------------------------------------------------------------
+# TPU / parallelism (replaces the reference DDP stanza, config/default.py:32-38;
+# NCCL process groups become a jax.sharding.Mesh over ICI)
+# ---------------------------------------------------------------------------
+_C.TPU = ConfigTree()
+_C.TPU.MESH_AXES = ["data", "model"]
+_C.TPU.MESH_SHAPE = [-1, 1]  # -1: all devices on the data axis
+_C.TPU.PRECISION = "bfloat16"  # compute dtype for encoders/attention
+_C.TPU.PARAM_DTYPE = "float32"
+_C.TPU.REMAT = True  # jax.checkpoint over scan chunks
+_C.TPU.DONATE = True  # donate train state buffers in the jitted step
+_C.TPU.USE_PALLAS = True  # fused kernels where profitable (falls back off-TPU)
+
+# ---------------------------------------------------------------------------
+# EVAL (reference config/default.py:44-52)
+# ---------------------------------------------------------------------------
+_C.EVAL = ConfigTree()
+_C.EVAL.SPLIT = "val_seen"
+_C.EVAL.USE_CKPT_CONFIG = True
+_C.EVAL.EPISODE_COUNT = 2
+_C.EVAL.EVAL_NONLEARNING = False
+_C.EVAL.NONLEARNING = ConfigTree()
+_C.EVAL.NONLEARNING.AGENT = "RandomAgent"
+_C.EVAL.VAL_LOG_DIR = "validation_logging"
+
+# ---------------------------------------------------------------------------
+# DAGGER / IL loop (reference config/default.py:57-84)
+# ---------------------------------------------------------------------------
+_C.DAGGER = ConfigTree()
+_C.DAGGER.LR = 1e-4
+_C.DAGGER.ITERATIONS = 1
+_C.DAGGER.EPOCHS = 10
+_C.DAGGER.UPDATE_SIZE = 5000
+_C.DAGGER.BATCH_SIZE = 3
+_C.DAGGER.P = 1.0
+_C.DAGGER.time_step = 1.0 / 30
+_C.DAGGER.LMDB_MAP_SIZE = 2.7e12
+_C.DAGGER.LMDB_EVAL_SIZE = 1e11
+_C.DAGGER.tbptt_steps = 100
+_C.DAGGER.split_dim = 0
+_C.DAGGER.COLLECT_DATA_SPLIT = "train"
+_C.DAGGER.INTER_MODULE_ATTN = False
+_C.DAGGER.LMDB_COMMIT_FREQUENCY = 500
+_C.DAGGER.LMDB_STORE_FREQUENCY = 5
+_C.DAGGER.USE_IW = True
+_C.DAGGER.PRELOAD_LMDB_FEATURES = False
+_C.DAGGER.LMDB_FEATURES_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
+_C.DAGGER.LMDB_EVAL_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
+_C.DAGGER.LOAD_FROM_CKPT = False
+_C.DAGGER.CKPT_TO_LOAD = "data/checkpoints/ckpt.0"
+# TPU additions: static-shape episode bucketing (SURVEY.md §7 hard parts)
+_C.DAGGER.EPISODE_LEN_BUCKETS = [100, 200, 300, 400, 500, 700, 1000]
+_C.DAGGER.MAX_INSTRUCTION_LEN = 200
+
+# ---------------------------------------------------------------------------
+# MODEL (reference config/default.py:88-258)
+# ---------------------------------------------------------------------------
+_C.MODEL = ConfigTree()
+_C.MODEL.inflection_weight_coef = 3.2
+_C.MODEL.ablate_depth = False
+_C.MODEL.ablate_rgb = False
+_C.MODEL.ablate_instruction = False
+
+_C.MODEL.INSTRUCTION_ENCODER = ConfigTree()
+_C.MODEL.INSTRUCTION_ENCODER.num_layers = 1
+_C.MODEL.INSTRUCTION_ENCODER.vocab_size = 2504
+_C.MODEL.INSTRUCTION_ENCODER.max_length = 200
+_C.MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings = True
+_C.MODEL.INSTRUCTION_ENCODER.embedding_file = (
+    "data/datasets/robo_vln_v1/embeddings.json.gz"
+)
+_C.MODEL.INSTRUCTION_ENCODER.fine_tune_embeddings = False
+_C.MODEL.INSTRUCTION_ENCODER.embedding_size = 50
+_C.MODEL.INSTRUCTION_ENCODER.hidden_size = 256
+_C.MODEL.INSTRUCTION_ENCODER.rnn_type = "LSTM"
+_C.MODEL.INSTRUCTION_ENCODER.final_state_only = True
+_C.MODEL.INSTRUCTION_ENCODER.bidirectional = False
+_C.MODEL.INSTRUCTION_ENCODER.dropout_ratio = 0.25
+_C.MODEL.INSTRUCTION_ENCODER.is_bert = False
+
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER = ConfigTree()
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER.N = 1
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER.d_in = 768
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER.d_model = 256
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER.h = 4
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER.d_ff = 1024
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER.dropout = 0.2
+_C.MODEL.TRANSFORMER_INSTRUCTION_ENCODER.is_bert = True
+
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER = ConfigTree()
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER.N = 1
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER.d_in = 512
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER.d_out = 256
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER.d_model = 256
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER.h = 2
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER.d_ff = 1024
+_C.MODEL.IMAGE_CROSS_MODAL_ENCODER.dropout = 0.2
+
+_C.MODEL.VISUAL_LING_ATTN = ConfigTree()
+_C.MODEL.VISUAL_LING_ATTN.N = 1
+_C.MODEL.VISUAL_LING_ATTN.vis_in_features = 256
+_C.MODEL.VISUAL_LING_ATTN.ins_in_features = 768
+_C.MODEL.VISUAL_LING_ATTN.fc_output = 512
+_C.MODEL.VISUAL_LING_ATTN.d_model = 256
+_C.MODEL.VISUAL_LING_ATTN.h = 4
+_C.MODEL.VISUAL_LING_ATTN.d_ff = 1024
+_C.MODEL.VISUAL_LING_ATTN.dropout = 0.25
+
+_C.MODEL.RGB_ENCODER = ConfigTree()
+_C.MODEL.RGB_ENCODER.cnn_type = "TorchVisionResNet50"
+_C.MODEL.RGB_ENCODER.output_size = 256
+_C.MODEL.RGB_ENCODER.resnet_output_size = 256
+_C.MODEL.RGB_ENCODER.pretrained_weights = "data/weights/resnet50_imagenet.npz"
+
+_C.MODEL.DEPTH_ENCODER = ConfigTree()
+_C.MODEL.DEPTH_ENCODER.cnn_type = "VlnResnetDepthEncoder"
+_C.MODEL.DEPTH_ENCODER.output_size = 128
+_C.MODEL.DEPTH_ENCODER.backbone = "resnet50"
+_C.MODEL.DEPTH_ENCODER.ddppo_checkpoint = "data/ddppo-models/gibson-2plus-resnet50.pth"
+
+_C.MODEL.STATE_ENCODER = ConfigTree()
+_C.MODEL.STATE_ENCODER.hidden_size = 512
+_C.MODEL.STATE_ENCODER.rnn_type = "LSTM"
+
+_C.MODEL.SEQ2SEQ = ConfigTree()
+_C.MODEL.SEQ2SEQ.use_prev_action = False
+
+_C.MODEL.CMA = ConfigTree()
+_C.MODEL.CMA.use = False
+_C.MODEL.CMA.rcm_state_encoder = False
+_C.MODEL.CMA.use_prev_action = False
+
+_C.MODEL.PROGRESS_MONITOR = ConfigTree()
+_C.MODEL.PROGRESS_MONITOR.use = False
+_C.MODEL.PROGRESS_MONITOR.alpha = 1.0
+
+_C.MODEL.BERT = ConfigTree()
+_C.MODEL.BERT.vocab_size = 30522
+_C.MODEL.BERT.hidden_size = 768
+_C.MODEL.BERT.num_layers = 12
+_C.MODEL.BERT.num_heads = 12
+_C.MODEL.BERT.intermediate_size = 3072
+_C.MODEL.BERT.max_position_embeddings = 512
+_C.MODEL.BERT.type_vocab_size = 2
+_C.MODEL.BERT.pretrained_weights = "data/weights/bert_base_uncased.npz"
+
+_C.MODEL.TRANSFORMER = ConfigTree()
+_C.MODEL.TRANSFORMER.use = False
+_C.MODEL.TRANSFORMER.output_size = 512
+_C.MODEL.TRANSFORMER.use_prev_action = True
+_C.MODEL.TRANSFORMER.lr = 1e-4
+_C.MODEL.TRANSFORMER.weight_decay = 1e-3
+_C.MODEL.TRANSFORMER.lr_drop = 4
+_C.MODEL.TRANSFORMER.split_gpus = False
+_C.MODEL.TRANSFORMER.hidden_size = 512
+
+
+def get_config(
+    config_paths: Optional[Union[List[str], str]] = None,
+    opts: Optional[list] = None,
+) -> ConfigTree:
+    """defaults <- yaml(s) <- opts; TASK_CONFIG is built from
+    BASE_TASK_CONFIG_PATH exactly like reference get_config
+    (config/default.py:263-290)."""
+    config = _C.clone()
+    if config_paths:
+        if isinstance(config_paths, str):
+            config_paths = [config_paths]
+        for p in config_paths:
+            config.merge_from_file(p)
+    task_paths = config.BASE_TASK_CONFIG_PATH or None
+    config.TASK_CONFIG = get_task_config(task_paths).clone().defrost()
+    if opts:
+        config.CMD_TRAILING_OPTS = list(opts)
+        config.merge_from_list(opts)
+    config.freeze()
+    return config

@@ -1,0 +1,110 @@
+"""Task-level config tree (sensors, measures, dataset, simulator).
+
+TPU-native counterpart of the reference's extended habitat task config
+(/root/reference/habitat_extensions/config/default.py:6-144 and
+robo_vln_task.yaml).  The same knobs exist so paper configs port 1:1, but the
+tree is self-contained — there is no habitat dependency.
+"""
+
+from .tree import ConfigTree
+
+_TC = ConfigTree()
+
+_TC.SEED = 100
+
+_TC.ENVIRONMENT = ConfigTree()
+_TC.ENVIRONMENT.MAX_EPISODE_STEPS = 1000  # robo_vln_task.yaml:2
+_TC.ENVIRONMENT.ITERATOR_OPTIONS = ConfigTree()
+_TC.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
+_TC.ENVIRONMENT.ITERATOR_OPTIONS.MAX_SCENE_REPEAT_STEPS = 10000
+
+_TC.SIMULATOR = ConfigTree()
+_TC.SIMULATOR.TYPE = "replay"  # "habitat" when habitat-sim is installed; "kinematic" for the C++ integrator
+_TC.SIMULATOR.FORWARD_STEP_SIZE = 0.25
+_TC.SIMULATOR.TURN_ANGLE = 15
+_TC.SIMULATOR.AGENT_0 = ConfigTree()
+_TC.SIMULATOR.AGENT_0.SENSORS = ["RGB_SENSOR", "DEPTH_SENSOR"]
+_TC.SIMULATOR.HABITAT_SIM_V0 = ConfigTree()
+_TC.SIMULATOR.HABITAT_SIM_V0.GPU_DEVICE_ID = 0
+_TC.SIMULATOR.RGB_SENSOR = ConfigTree()
+_TC.SIMULATOR.RGB_SENSOR.WIDTH = 224  # robo_vln_task.yaml:11-14
+_TC.SIMULATOR.RGB_SENSOR.HEIGHT = 224
+_TC.SIMULATOR.RGB_SENSOR.HFOV = 90
+_TC.SIMULATOR.DEPTH_SENSOR = ConfigTree()
+_TC.SIMULATOR.DEPTH_SENSOR.WIDTH = 256  # DDPPO resnet wants 256x256 (yaml:16-18)
+_TC.SIMULATOR.DEPTH_SENSOR.HEIGHT = 256
+_TC.SIMULATOR.DEPTH_SENSOR.MIN_DEPTH = 0.0
+_TC.SIMULATOR.DEPTH_SENSOR.MAX_DEPTH = 10.0
+
+_TC.TASK = ConfigTree()
+_TC.TASK.TYPE = "VLN-v0"
+_TC.TASK.SUCCESS_DISTANCE = 3.0  # robo_vln_task.yaml:21
+_TC.TASK.SENSORS = [
+    "INSTRUCTION_SENSOR",
+    "VLN_ORACLE_ACTION_SENSOR",
+    "VLN_ORACLE_PROGRESS_SENSOR",
+    "HEADING_SENSOR",
+]
+_TC.TASK.INSTRUCTION_SENSOR_UUID = "instruction"
+_TC.TASK.POSSIBLE_ACTIONS = ["STOP", "MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT"]
+_TC.TASK.MEASUREMENTS = [
+    "DISTANCE_TO_GOAL",
+    "SUCCESS",
+    "SPL",
+    "PATH_LENGTH",
+    "NAVIGATION_ERROR",
+    "STEPS_TAKEN",
+]
+
+_TC.TASK.GLOBAL_GPS_SENSOR = ConfigTree()
+_TC.TASK.GLOBAL_GPS_SENSOR.TYPE = "GlobalGPSSensor"
+_TC.TASK.GLOBAL_GPS_SENSOR.DIMENSIONALITY = 3
+
+_TC.TASK.VLN_ORACLE_ACTION_SENSOR = ConfigTree()
+_TC.TASK.VLN_ORACLE_ACTION_SENSOR.TYPE = "VLNOracleActionSensor"
+_TC.TASK.VLN_ORACLE_ACTION_SENSOR.GOAL_RADIUS = 0.5
+
+_TC.TASK.VLN_ORACLE_PROGRESS_SENSOR = ConfigTree()
+_TC.TASK.VLN_ORACLE_PROGRESS_SENSOR.TYPE = "VLNOracleProgressSensor"
+
+_TC.TASK.NDTW = ConfigTree()
+_TC.TASK.NDTW.TYPE = "NDTW"
+_TC.TASK.NDTW.SPLIT = "val_seen"
+_TC.TASK.NDTW.FDTW = True
+_TC.TASK.NDTW.GT_PATH = "data/datasets/robo_vln_v1/{split}/{split}_gt.json.gz"
+_TC.TASK.NDTW.SUCCESS_DISTANCE = 3.0
+
+_TC.TASK.SDTW = ConfigTree()
+_TC.TASK.SDTW.TYPE = "SDTW"
+_TC.TASK.SDTW.SPLIT = "val_seen"
+_TC.TASK.SDTW.FDTW = True
+_TC.TASK.SDTW.GT_PATH = "data/datasets/robo_vln_v1/{split}/{split}_gt.json.gz"
+_TC.TASK.SDTW.SUCCESS_DISTANCE = 3.0
+
+_TC.TASK.SPL = ConfigTree()
+_TC.TASK.SPL.SUCCESS_DISTANCE = 3.0
+_TC.TASK.SUCCESS = ConfigTree()
+_TC.TASK.SUCCESS.SUCCESS_DISTANCE = 3.0
+_TC.TASK.ORACLE_SPL = ConfigTree()
+_TC.TASK.ORACLE_SPL.SUCCESS_DISTANCE = 3.0
+
+_TC.DATASET = ConfigTree()
+_TC.DATASET.TYPE = "VLN-CE-v1"
+_TC.DATASET.SPLIT = "train"
+_TC.DATASET.DATA_PATH = "data/datasets/robo_vln_v1/{split}/{split}.json.gz"
+_TC.DATASET.SCENES_DIR = "data/scene_datasets/"
+_TC.DATASET.CONTENT_SCENES = ["*"]
+
+
+def get_task_config(config_paths=None, opts=None) -> ConfigTree:
+    """Build the task config: defaults <- yaml(s) <- opts, then freeze."""
+    config = _TC.clone()
+    if config_paths:
+        if isinstance(config_paths, str):
+            config_paths = [config_paths]
+        for p in config_paths:
+            config.merge_from_file(p)
+    if opts:
+        config.merge_from_list(opts)
+    config.freeze()
+    return config

@@ -1,0 +1,196 @@
+"""Cross-modal transformer blocks (flax).
+
+Functional equivalents of the reference transformer stack
+(/root/reference/robo_vln_baselines/models/transformer/transformer.py):
+
+* ``ScaledDotProductAttention`` / ``MultiHeadAttention`` (transformer.py:46-126)
+  — explicit Q/K/V/O linears, mask-fill -inf before softmax then zero after,
+  post-LN residual;
+* ``PositionWiseFeedForward`` (transformer.py:25-43) — ReLU MLP, post-LN
+  residual;
+* ``InterModuleAttnLayer`` (transformer.py:209-221) — cross-attention + FFN,
+  no self-attention;
+* ``VisualLingAttn`` (transformer.py:251-281) — the HCM hot block:
+  instruction-query × visual-key/value cross attention with sinusoid PE on the
+  queries.
+
+All matmuls run in the configured compute dtype (bfloat16 by default) with
+float32 accumulation; the softmax is kept in float32.  At L<=200 instruction
+tokens x 16 visual tokens per frame these blocks are MXU-bound; XLA fuses the
+residual/LN chains so no manual kernel is needed here (the fused pallas
+variant lives in ops/cm_attention.py and is used on TPU for the full
+attention+FFN pipeline).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from robo_vln_tpu.ops.cm_attention import mha_attention
+
+
+def sinusoid_encoding_table(max_len: int, d_model: int) -> jnp.ndarray:
+    """Sin/cos table matching reference common/utils.py:167-185: both the sin
+    (even cols) and cos (odd cols) of pair k use frequency 10000^(2k/d)."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]  # (L, 1)
+    dim = jnp.arange(d_model // 2, dtype=jnp.float32)[None, :]  # (1, D/2)
+    angle = pos / jnp.power(10000.0, 2.0 * dim / d_model)
+    out = jnp.zeros((max_len, d_model), jnp.float32)
+    out = out.at[:, 0::2].set(jnp.sin(angle))
+    out = out.at[:, 1::2].set(jnp.cos(angle))
+    return out
+
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN residual MHA (reference transformer.py:46-126)."""
+
+    d_model: int
+    h: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, values, attention_mask=None, deterministic=True):
+        d_k = self.d_model // self.h
+        q = nn.Dense(self.h * d_k, name="fc_q", dtype=self.compute_dtype)(queries)
+        k = nn.Dense(self.h * d_k, name="fc_k", dtype=self.compute_dtype)(keys)
+        v = nn.Dense(self.h * d_k, name="fc_v", dtype=self.compute_dtype)(values)
+        out = mha_attention(q, k, v, self.h, attention_mask)
+        out = nn.Dense(self.d_model, name="fc_o", dtype=self.compute_dtype)(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            queries.astype(jnp.float32) + out.astype(jnp.float32)
+        )
+        return out
+
+
+class PositionWiseFeedForward(nn.Module):
+    """ReLU MLP with post-LN residual (reference transformer.py:25-43)."""
+
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        y = nn.Dense(self.d_ff, name="fc1", dtype=self.compute_dtype)(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(self.d_model, name="fc2", dtype=self.compute_dtype)(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            x.astype(jnp.float32) + y.astype(jnp.float32)
+        )
+
+
+class EncoderLayer(nn.Module):
+    """Self-attention + FFN (reference transformer.py:130-139)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, values, attention_mask=None, deterministic=True):
+        att = MultiHeadAttention(
+            self.d_model, self.h, self.dropout, self.compute_dtype, name="mhatt"
+        )(queries, keys, values, attention_mask, deterministic)
+        return PositionWiseFeedForward(
+            self.d_model, self.d_ff, self.dropout, self.compute_dtype, name="pwff"
+        )(att, deterministic)
+
+
+class InterModuleAttnLayer(nn.Module):
+    """Cross-attention + FFN, no self-attention (transformer.py:209-221)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_1, input_2, enc_att_mask=None, deterministic=True):
+        att = MultiHeadAttention(
+            self.d_model, self.h, self.dropout, self.compute_dtype, name="enc_att"
+        )(input_1, input_2, input_2, enc_att_mask, deterministic)
+        return PositionWiseFeedForward(
+            self.d_model, self.d_ff, self.dropout, self.compute_dtype, name="pwff"
+        )(att, deterministic)
+
+
+class VisualLingAttn(nn.Module):
+    """Instruction-query x visual-KV cross-modal attention — the core HCM op
+    (reference Visual_Ling_Attn, transformer.py:251-281).
+
+    input:   instruction embedding (B, L, ins_in_features)  [BERT 768]
+    input_2: visual tokens (B, S, vis_in_features)           [16 spatial]
+    """
+
+    d_model: int
+    h: int
+    d_ff: int
+    n_layers: int
+    vis_in_features: int
+    ins_in_features: int
+    dropout: float = 0.25
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, instruction, visual, enc_att_mask=None, deterministic=True):
+        drop = nn.Dropout(self.dropout)
+        ln = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")
+
+        vis = nn.relu(nn.Dense(self.d_model, name="vis_fc", dtype=self.compute_dtype)(visual))
+        vis = drop(vis, deterministic=deterministic)
+        vis = ln(vis.astype(jnp.float32))
+
+        ins = nn.relu(nn.Dense(self.d_model, name="ins_fc", dtype=self.compute_dtype)(instruction))
+        ins = drop(ins, deterministic=deterministic)
+        ins = ln(ins.astype(jnp.float32))
+
+        pe = sinusoid_encoding_table(ins.shape[1], ins.shape[2])
+        ins = ins + pe[None]
+
+        out = vis
+        for i in range(self.n_layers):
+            out = InterModuleAttnLayer(
+                self.d_model,
+                self.h,
+                self.d_ff,
+                self.dropout,
+                self.compute_dtype,
+                name=f"layers_{i}",
+            )(ins, out, enc_att_mask, deterministic)
+        return out
+
+
+class BaseEncoder(nn.Module):
+    """Stack of self-attention EncoderLayers (transformer.py:141-157)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    n_layers: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask=None, deterministic=True):
+        out = x
+        for i in range(self.n_layers):
+            out = EncoderLayer(
+                self.d_model,
+                self.h,
+                self.d_ff,
+                self.dropout,
+                self.compute_dtype,
+                name=f"layers_{i}",
+            )(out, out, out, attention_mask, deterministic)
+        return out

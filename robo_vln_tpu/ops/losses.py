@@ -1,0 +1,75 @@
+"""Imitation-learning losses with the reference's exact masking semantics.
+
+Every quirk of the reference loss path is reproduced deliberately (see
+SURVEY.md §7 "oddities to preserve"):
+
+* velocity MSE: predictions are zeroed wherever the *target* is exactly 0
+  (robo_vln_trainer.py:521-525 ``output.masked_fill_(corrected_actions==0, 0)``)
+  and the mean runs over ALL elements, padded ones included — padded terms
+  contribute 0 because both sides are 0 there;
+* stop BCE: computed only where oracle_stop != -1 (padding fill value,
+  robo_vln_trainer.py:527-530), as a mean over selected elements;
+* high-level CE: logits rows are zeroed where the oracle sub-goal is 0, labels
+  are (sub_goal - 1) with ignore_index=-1 (hierarchical_trainer.py:508-511).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_velocity_mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """MSELoss over (.., 2) velocities with zero-fill-where-target-zero.
+
+    Mean is over the full tensor (torch nn.MSELoss() default 'mean').
+    """
+    keep = target != 0.0
+    pred = jnp.where(keep, pred, 0.0)
+    return jnp.mean((pred - target) ** 2)
+
+
+def masked_stop_bce(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """BCEWithLogitsLoss over elements where target != -1.
+
+    target is {0, 1} on valid steps and -1 on padding.
+    """
+    valid = target != -1.0
+    t = jnp.where(valid, target, 0.0)
+    # log-sigmoid formulation, numerically stable
+    per = jnp.maximum(logits, 0.0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    per = jnp.where(valid, per, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(per) / denom
+
+
+def subgoal_cross_entropy(
+    logits: jnp.ndarray,  # (N, C)
+    oracle_actions: jnp.ndarray,  # (N,) raw sensor values; 0 = ignore
+) -> jnp.ndarray:
+    """CrossEntropyLoss(ignore_index=-1) over labels = oracle_actions - 1 with
+    logits rows zeroed where oracle_actions == 0 (matching the masked_fill in
+    hierarchical_trainer.py:508-509 — the zeroed rows are then dropped by
+    ignore_index so the fill only affects what the reference computes too)."""
+    ignore = oracle_actions == 0
+    labels = oracle_actions.astype(jnp.int32) - 1
+    logits = jnp.where(ignore[:, None], 0.0, logits)
+    logz = jax.nn.log_softmax(logits, axis=-1)
+    safe_labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logz, safe_labels[:, None], axis=-1)[:, 0]
+    nll = jnp.where(ignore, 0.0, nll)
+    denom = jnp.maximum(jnp.sum(~ignore), 1)
+    return jnp.sum(nll) / denom
+
+
+def progress_monitor_mse(
+    progress_hat: jnp.ndarray,  # (N,) tanh(progress head)
+    progress: jnp.ndarray,  # (N,)
+    mask: jnp.ndarray,  # (N,) bool — valid (non-padded) steps
+) -> jnp.ndarray:
+    """Aux progress-monitor loss: elementwise MSE reduced as a masked mean
+    (AuxLosses.reduce, aux_losses.py:29-35 + seq2seq.py:176-185)."""
+    per = (progress_hat - progress) ** 2
+    per = jnp.where(mask, per, 0.0)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(per) / denom

@@ -1,0 +1,73 @@
+"""Loss masking semantics vs the torch formulations the reference trainers use
+(robo_vln_trainer.py:505-542, hierarchical_trainer.py:492-560)."""
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+from robo_vln_tpu.ops import losses
+
+
+def test_masked_velocity_mse(rng):
+    pred = rng.standard_normal((20, 2)).astype(np.float32)
+    target = rng.standard_normal((20, 2)).astype(np.float32)
+    target[12:] = 0.0  # padded steps
+    target[3, 1] = 0.0  # genuine zero velocity — also masked (reference quirk)
+
+    p = torch.from_numpy(pred.copy())
+    t = torch.from_numpy(target)
+    p = p.masked_fill_(t == 0, 0)
+    ref = nn.MSELoss()(p, t).item()
+
+    got = float(losses.masked_velocity_mse(jnp.asarray(pred), jnp.asarray(target)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_masked_stop_bce(rng):
+    logits = rng.standard_normal((30, 1)).astype(np.float32)
+    target = (rng.random((30, 1)) > 0.7).astype(np.float32)
+    target[25:] = -1.0  # padding fill (collate_fn oracle_stop pad = -1)
+
+    lt = torch.from_numpy(logits)
+    tt = torch.from_numpy(target)
+    mask = tt != -1
+    ref = nn.BCEWithLogitsLoss()(
+        torch.masked_select(lt, mask), torch.masked_select(tt, mask)
+    ).item()
+
+    got = float(losses.masked_stop_bce(jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_subgoal_cross_entropy(rng):
+    N, C = 40, 4
+    logits = rng.standard_normal((N, C)).astype(np.float32)
+    oracle = rng.integers(0, 5, size=(N,))  # 0 = pad/natural-stop (ignored)
+
+    lt = torch.from_numpy(logits.copy())
+    ot = torch.from_numpy(oracle)
+    lt = lt.masked_fill_((ot == 0).unsqueeze(1), 0)
+    ref = nn.CrossEntropyLoss(ignore_index=-1)(lt, ot.long() - 1).item()
+
+    got = float(
+        losses.subgoal_cross_entropy(jnp.asarray(logits), jnp.asarray(oracle))
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_progress_monitor(rng):
+    N = 25
+    ph = np.tanh(rng.standard_normal(N)).astype(np.float32)
+    pr = rng.random(N).astype(np.float32)
+    mask = rng.random(N) > 0.3
+
+    per = nn.functional.mse_loss(
+        torch.from_numpy(ph), torch.from_numpy(pr), reduction="none"
+    )
+    ref = torch.masked_select(per, torch.from_numpy(mask)).mean().item()
+    got = float(
+        losses.progress_monitor_mse(jnp.asarray(ph), jnp.asarray(pr), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
