@@ -1,0 +1,212 @@
+"""Trajectory dataset: block-shuffled reads, stop relabeling, static-shape
+bucketed collation.
+
+Re-implements the reference IWTrajectoryDataset + collate_fn pipeline
+(robo_vln_trainer.py:67-291) with one deliberate change for XLA: instead of
+padding each batch to its max episode length (dynamic shapes => recompiles),
+episodes are padded up to a fixed LENGTH BUCKET.  With the default buckets
+(multiples of tbptt_steps=100) every TBPTT window has the identical shape, so
+the jitted train step compiles exactly once.
+
+Preserved semantics (SURVEY.md §7 "oddities"):
+  * length-bucketed block shuffle: preload batches of B*100 episodes, sort by
+    length with random tiebreak, block-shuffle in blocks of B (:207-241);
+  * stop relabeling: sub-goals from step stop_step-1 onward become class 4 and
+    oracle_stop 1 (:243-252);
+  * instruction: single row per episode — BERT wordpiece ids or GloVe ids;
+  * collate: not_done_masks all ones except t=0 (:141-142); oracle_stop padded
+    with -1; actions/observations padded with 0.
+
+Batches come out time-major: obs (T,B,...), instruction (B,L).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from robo_vln_tpu.data import serialization
+from robo_vln_tpu.data.trajectory_store import TrajectoryStore
+
+
+def block_shuffle(lst: List, block_size: int, rng: random.Random) -> List:
+    """Shuffle blocks of `block_size` keeping intra-block order
+    (reference _block_shuffle, robo_vln_trainer.py:169-173)."""
+    blocks = [lst[i : i + block_size] for i in range(0, len(lst), block_size)]
+    rng.shuffle(blocks)
+    return [x for b in blocks for x in b]
+
+
+def write_episode(store: TrajectoryStore, key: int, obs: Dict[str, np.ndarray],
+                  prev_actions: np.ndarray, corrected_actions: np.ndarray,
+                  stop_step: Sequence[int]) -> None:
+    """Store one expert episode in the reference's transposed_ep layout
+    (robo_vln_trainer.py:479-488)."""
+    store.put(
+        key,
+        serialization.packb(
+            [dict(obs), np.asarray(prev_actions, np.float64),
+             np.asarray(corrected_actions, np.float64), list(map(int, stop_step))]
+        ),
+    )
+
+
+def pick_bucket(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+class TrajectoryDataset:
+    """Iterator over decoded, relabeled episodes in block-shuffled order."""
+
+    def __init__(
+        self,
+        features_dir: str,
+        batch_size: int = 1,
+        is_bert: bool = False,
+        use_iw: bool = True,
+        inflection_weight_coef: float = 1.0,
+        seed: int = 0,
+    ):
+        self.features_dir = features_dir
+        self.batch_size = batch_size
+        self.preload_size = batch_size * 100
+        self.is_bert = is_bert
+        self.inflec_weights = np.array(
+            [1.0, inflection_weight_coef if use_iw else 1.0], np.float32
+        )
+        self._rng = random.Random(seed)
+        with TrajectoryStore(features_dir) as store:
+            self.length = len(store)
+
+    def _decode(self, raw: bytes):
+        obs, prev_actions, oracle_actions, stop_step = serialization.unpackb(raw)
+        prev_actions = np.asarray(prev_actions, np.float32).reshape(-1, 2)
+        oracle_actions = np.asarray(oracle_actions, np.float32).reshape(-1, 2)
+
+        discrete = np.asarray(obs["vln_oracle_action_sensor"]).reshape(-1).copy()
+        val = int(np.asarray(stop_step).reshape(-1)[-1]) - 1
+        discrete[val:] = 4
+        oracle_stop = np.zeros_like(discrete, np.float32)
+        oracle_stop[val:] = 1.0
+
+        out = {k: np.asarray(v) for k, v in obs.items()}
+        out["vln_oracle_action_sensor"] = discrete
+        if self.is_bert:
+            instruction = np.asarray(out["instruction"]).reshape(
+                len(prev_actions), -1
+            )[0]
+        else:
+            instruction = np.asarray(out["glove_tokens"]).reshape(
+                len(prev_actions), -1
+            )[0]
+            out.pop("glove_tokens", None)
+        out["instruction"] = instruction  # (L,) single row per episode
+        return out, prev_actions, oracle_actions, oracle_stop
+
+    def __iter__(self) -> Iterator:
+        order = block_shuffle(list(range(self.length)), self.preload_size, self._rng)
+        order = list(reversed(order))
+        store = TrajectoryStore(self.features_dir)
+        try:
+            while order:
+                chunk = []
+                lengths = []
+                for _ in range(self.preload_size):
+                    if not order:
+                        break
+                    chunk.append(self._decode(store.get(order.pop())))
+                    lengths.append(len(chunk[-1][1]))
+                tiebreak = list(range(len(lengths)))
+                self._rng.shuffle(tiebreak)
+                idx = sorted(
+                    range(len(lengths)), key=lambda k: (lengths[k], tiebreak[k])
+                )
+                for i in block_shuffle(idx, self.batch_size, self._rng):
+                    yield chunk[i]
+        finally:
+            store.close()
+
+
+def collate_batch(
+    samples: List,
+    buckets: Sequence[int],
+    max_instruction_len: int = 200,
+) -> Dict[str, np.ndarray]:
+    """Pad a list of decoded episodes into one static-shape time-major batch."""
+    B = len(samples)
+    T = pick_bucket(max(len(s[1]) for s in samples), buckets)
+    L = max_instruction_len
+
+    obs0 = samples[0][0]
+    batch: Dict[str, np.ndarray] = {}
+    sensor_keys = [k for k in obs0 if k != "instruction"]
+    for k in sensor_keys:
+        arr0 = np.asarray(obs0[k])
+        shape = (T, B) + arr0.shape[1:]
+        out = np.zeros(shape, np.float32)
+        for b, s in enumerate(samples):
+            v = np.asarray(s[0][k], np.float32)
+            out[: len(v), b] = v[:T]
+        batch[k] = out
+
+    instruction = np.zeros((B, L), np.int32)
+    for b, s in enumerate(samples):
+        ids = np.asarray(s[0]["instruction"]).reshape(-1)[:L]
+        instruction[b, : len(ids)] = ids
+    batch["instruction"] = instruction
+
+    prev_actions = np.zeros((T, B, 2), np.float32)
+    corrected = np.zeros((T, B, 2), np.float32)
+    oracle_stop = np.full((T, B, 1), -1.0, np.float32)
+    valid = np.zeros((T, B), np.float32)
+    for b, s in enumerate(samples):
+        _, pa, oa, ostop = s
+        n = min(len(pa), T)
+        prev_actions[:n, b] = pa[:n]
+        corrected[:n, b] = oa[:n]
+        oracle_stop[:n, b, 0] = ostop[:n]
+        valid[:n, b] = 1.0
+
+    not_done = np.ones((T, B), np.float32)
+    not_done[0] = 0.0  # hidden reset at batch start (collate_fn :141-142)
+
+    batch["prev_actions"] = prev_actions
+    batch["corrected_actions"] = corrected
+    batch["oracle_stop"] = oracle_stop
+    batch["not_done_masks"] = not_done
+    batch["valid_mask"] = valid  # 1 on real steps, 0 on padding
+    return batch
+
+
+def batch_iterator(
+    dataset: TrajectoryDataset,
+    batch_size: int,
+    buckets: Sequence[int],
+    max_instruction_len: int = 200,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    buf = []
+    for sample in dataset:
+        buf.append(sample)
+        if len(buf) == batch_size:
+            yield collate_batch(buf, buckets, max_instruction_len)
+            buf = []
+    if buf and not drop_last:
+        yield collate_batch(buf, buckets, max_instruction_len)
+
+
+def split_tbptt(batch: Dict[str, np.ndarray], tbptt_steps: int):
+    """Chunk a (T,B,...) batch into tbptt windows (reference split_batch_tbptt,
+    common/utils.py:120-144). Instruction (B,L) is shared across windows."""
+    T = batch["prev_actions"].shape[0]
+    for s in range(0, T, tbptt_steps):
+        e = min(s + tbptt_steps, T)
+        yield {
+            k: (v if k == "instruction" else v[s:e])
+            for k, v in batch.items()
+        }
