@@ -17,7 +17,8 @@ Preserved semantics (SURVEY.md §7 "oddities"):
   * collate: not_done_masks all ones except t=0 (:141-142); oracle_stop padded
     with -1; actions/observations padded with 0.
 
-Batches come out time-major: obs (T,B,...), instruction (B,L).
+Batches come out batch-major: obs (B,T,...), instruction (B,L) — the batch
+axis is axis 0 everywhere, which is what the mesh "data" sharding partitions.
 """
 
 from __future__ import annotations
@@ -147,11 +148,11 @@ def collate_batch(
     sensor_keys = [k for k in obs0 if k != "instruction"]
     for k in sensor_keys:
         arr0 = np.asarray(obs0[k])
-        shape = (T, B) + arr0.shape[1:]
+        shape = (B, T) + arr0.shape[1:]
         out = np.zeros(shape, np.float32)
         for b, s in enumerate(samples):
             v = np.asarray(s[0][k], np.float32)
-            out[: len(v), b] = v[:T]
+            out[b, : len(v)] = v[:T]
         batch[k] = out
 
     instruction = np.zeros((B, L), np.int32)
@@ -160,20 +161,20 @@ def collate_batch(
         instruction[b, : len(ids)] = ids
     batch["instruction"] = instruction
 
-    prev_actions = np.zeros((T, B, 2), np.float32)
-    corrected = np.zeros((T, B, 2), np.float32)
-    oracle_stop = np.full((T, B, 1), -1.0, np.float32)
-    valid = np.zeros((T, B), np.float32)
+    prev_actions = np.zeros((B, T, 2), np.float32)
+    corrected = np.zeros((B, T, 2), np.float32)
+    oracle_stop = np.full((B, T, 1), -1.0, np.float32)
+    valid = np.zeros((B, T), np.float32)
     for b, s in enumerate(samples):
         _, pa, oa, ostop = s
         n = min(len(pa), T)
-        prev_actions[:n, b] = pa[:n]
-        corrected[:n, b] = oa[:n]
-        oracle_stop[:n, b, 0] = ostop[:n]
-        valid[:n, b] = 1.0
+        prev_actions[b, :n] = pa[:n]
+        corrected[b, :n] = oa[:n]
+        oracle_stop[b, :n, 0] = ostop[:n]
+        valid[b, :n] = 1.0
 
-    not_done = np.ones((T, B), np.float32)
-    not_done[0] = 0.0  # hidden reset at batch start (collate_fn :141-142)
+    not_done = np.ones((B, T), np.float32)
+    not_done[:, 0] = 0.0  # hidden reset at batch start (collate_fn :141-142)
 
     batch["prev_actions"] = prev_actions
     batch["corrected_actions"] = corrected
@@ -201,12 +202,13 @@ def batch_iterator(
 
 
 def split_tbptt(batch: Dict[str, np.ndarray], tbptt_steps: int):
-    """Chunk a (T,B,...) batch into tbptt windows (reference split_batch_tbptt,
-    common/utils.py:120-144). Instruction (B,L) is shared across windows."""
-    T = batch["prev_actions"].shape[0]
+    """Chunk a (B,T,...) batch into tbptt windows along time (reference
+    split_batch_tbptt, common/utils.py:120-144). Instruction (B,L) is shared
+    across windows."""
+    T = batch["prev_actions"].shape[1]
     for s in range(0, T, tbptt_steps):
         e = min(s + tbptt_steps, T)
         yield {
-            k: (v if k == "instruction" else v[s:e])
+            k: (v if k == "instruction" else v[:, s:e])
             for k, v in batch.items()
         }

@@ -18,7 +18,9 @@ cma.py:227-228 — same math, wasted FLOPs we don't reproduce).
 
 Hidden packing matches the reference: (4, B, H) = [scan#1 h,c ; scan#2 h,c].
 Visual tokens are token-major (B, S, C); the reference's 1x1 convs are Dense
-over C.
+over C.  External sequence layout is batch-major (B, T, ...) so the (B*T)
+conv-frame flatten keeps the data-sharded batch axis outermost; the small
+feature tensors are transposed time-major only for the scans.
 """
 
 from __future__ import annotations
@@ -102,30 +104,26 @@ class CMAPolicy(nn.Module):
         observations: Dict[str, jnp.ndarray],
         hidden: jnp.ndarray,  # (4, B, H)
         prev_actions: Optional[jnp.ndarray],
-        masks: jnp.ndarray,  # (T, B) or (B,)
+        masks: jnp.ndarray,  # (B, T) or (B,)
     ):
         mc = self.model_config
         single = observations["rgb"].ndim == 4
         if single:
             observations = {
-                k: (v[None] if k != "instruction" else v)
+                k: (v[:, None] if k != "instruction" else v)
                 for k, v in observations.items()
             }
-            masks = masks[None]
+            masks = masks[:, None]
             if prev_actions is not None:
-                prev_actions = prev_actions[None]
+                prev_actions = prev_actions[:, None]
 
-        t, b = observations["rgb"].shape[:2]
-        n = t * b
+        b, t = observations["rgb"].shape[:2]
+        n = b * t
         rgb = observations["rgb"].reshape((n,) + observations["rgb"].shape[2:])
         depth = observations["depth"].reshape((n,) + observations["depth"].shape[2:])
 
-        depth_tokens = jax.lax.stop_gradient(
-            self.depth_encoder({"depth": depth})
-        )  # (N, 64, 96)
-        rgb_tokens = jax.lax.stop_gradient(
-            self.rgb_encoder({"rgb": rgb})
-        )  # (N, 16, 2112)
+        depth_tokens = self.depth_encoder({"depth": depth})  # (N, 64, 96)
+        rgb_tokens = self.rgb_encoder({"rgb": rgb})  # (N, 16, 2112)
 
         # (B, C, L) channel-major from the encoder; broadcast over time
         ins_cl = self.instruction_encoder(observations["instruction"])
@@ -143,6 +141,7 @@ class CMAPolicy(nn.Module):
         depth_flat = jnp.swapaxes(depth_tokens, 1, 2).reshape(n, -1)  # (N, C*S)
         depth_in = nn.relu(self.depth_linear(depth_flat))
 
+        masks_tm = jnp.swapaxes(masks, 0, 1)  # (T, B)
         if mc.CMA.use_prev_action:
             pa = ((prev_actions.astype(jnp.float32) + 1) * masks[..., None]).astype(
                 jnp.int32
@@ -150,19 +149,21 @@ class CMAPolicy(nn.Module):
             pa_emb = self.prev_action_embedding(pa)
             state_in = jnp.concatenate(
                 [rgb_in, depth_in, pa_emb], axis=1
-            ).reshape(t, b, -1)
+            ).reshape(b, t, -1)
         else:
-            state_in = jnp.concatenate([rgb_in, depth_in], axis=1).reshape(t, b, -1)
+            state_in = jnp.concatenate([rgb_in, depth_in], axis=1).reshape(b, t, -1)
 
-        state_seq, hid1 = self.state_encoder(state_in, hidden[0:2], masks)
-        state = state_seq.reshape(n, -1)
+        state_seq, hid1 = self.state_encoder(
+            jnp.swapaxes(state_in, 0, 1), hidden[0:2], masks_tm
+        )
+        state = jnp.swapaxes(state_seq, 0, 1).reshape(n, -1)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(self._H // 2, jnp.float32))
-        ins_tb = jnp.broadcast_to(ins_lc[None], (t,) + ins_lc.shape).reshape(
-            n, *ins_lc.shape[1:]
-        )  # (N, L, C)
+        ins_tb = jnp.broadcast_to(
+            ins_lc[:, None], (b, t) + ins_lc.shape[1:]
+        ).reshape(n, *ins_lc.shape[1:])  # (N, L, C)
         text_mask = jnp.broadcast_to(
-            text_mask_b[None], (t,) + text_mask_b.shape
+            text_mask_b[:, None], (b, t) + text_mask_b.shape[1:]
         ).reshape(n, -1)
 
         text_state_q = self.state_q(state)
@@ -186,9 +187,11 @@ class CMAPolicy(nn.Module):
             )
         else:
             x = jnp.concatenate([state, text_embedding, rgb_att, depth_att], axis=1)
-        x = nn.relu(self.second_state_compress(x)).reshape(t, b, -1)
-        out_seq, hid2 = self.second_state_encoder(x, hidden[2:4], masks)
-        out = out_seq
+        x = nn.relu(self.second_state_compress(x)).reshape(b, t, -1)
+        out_seq, hid2 = self.second_state_encoder(
+            jnp.swapaxes(x, 0, 1), hidden[2:4], masks_tm
+        )
+        out = jnp.swapaxes(out_seq, 0, 1)  # (B, T, H)
 
         hidden = jnp.concatenate([hid1, hid2], axis=0)
 
@@ -199,5 +202,5 @@ class CMAPolicy(nn.Module):
         actions = self.linear(out)
         stop = self.stop_linear(out)
         if single:
-            return actions[0], stop[0], hidden, aux
+            return actions[:, 0], stop[:, 0], hidden, aux
         return actions, stop, hidden, aux

@@ -57,11 +57,15 @@ class DepthEncoder(nn.Module):
         if "depth_features" in observations:
             x = observations["depth_features"]
         else:
-            x = GNResNetEncoder(
-                spatial_size=self.spatial_size,
-                compute_dtype=self.compute_dtype,
-                name="visual_encoder",
-            )(observations["depth"])
+            # frozen backbone (reference freezes the whole ResNetEncoder incl.
+            # compression, resnet_encoders.py:35-37); the heads below train
+            x = jax.lax.stop_gradient(
+                GNResNetEncoder(
+                    spatial_size=self.spatial_size,
+                    compute_dtype=self.compute_dtype,
+                    name="visual_encoder",
+                )(observations["depth"])
+            )
         b = x.shape[0]
         if self.spatial_output:
             h, w, c = x.shape[1], x.shape[2], x.shape[3]
@@ -103,7 +107,11 @@ class RGBEncoder(nn.Module):
             b = feat.shape[0]
         else:
             rgb = observations["rgb"].astype(self.compute_dtype) / 255.0
-            feat = TVResNet50(compute_dtype=self.compute_dtype, name="cnn")(rgb)
+            # frozen ImageNet trunk (resnet_encoders.py:147-149); fc / spatial
+            # embeddings below train
+            feat = jax.lax.stop_gradient(
+                TVResNet50(compute_dtype=self.compute_dtype, name="cnn")(rgb)
+            )
             b = feat.shape[0]
         if self.spatial_output:
             if feat.ndim == 4:

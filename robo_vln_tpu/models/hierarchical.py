@@ -91,25 +91,25 @@ class HighLevelPolicy(nn.Module):
         observations: Dict[str, jnp.ndarray],
         hidden: jnp.ndarray,
         prev_actions: Optional[jnp.ndarray],
-        masks: jnp.ndarray,  # (T, B) or (B,)
+        masks: jnp.ndarray,  # (B, T) or (B,)
         deterministic: bool = True,
     ):
         mc = self.model_config
         single = observations["rgb"].ndim == 4
         if single:
             observations = {
-                k: (v[None] if k != "instruction" else v)
+                k: (v[:, None] if k != "instruction" else v)
                 for k, v in observations.items()
             }
-            masks = masks[None]
+            masks = masks[:, None]
 
-        t, b = observations["rgb"].shape[:2]
-        n = t * b
+        b, t = observations["rgb"].shape[:2]
+        n = b * t
         rgb = observations["rgb"].reshape((n,) + observations["rgb"].shape[2:])
         depth = observations["depth"].reshape((n,) + observations["depth"].shape[2:])
 
-        depth_tokens = jax.lax.stop_gradient(self.depth_encoder({"depth": depth}))
-        rgb_tokens = jax.lax.stop_gradient(self.rgb_encoder({"rgb": rgb}))
+        depth_tokens = self.depth_encoder({"depth": depth})
+        rgb_tokens = self.rgb_encoder({"rgb": rgb})
         if mc.ablate_depth:
             depth_tokens = depth_tokens * 0
         if mc.ablate_rgb:
@@ -124,7 +124,7 @@ class HighLevelPolicy(nn.Module):
         depth_spatial = self.depth_kv(depth_tokens)  # (N, 64, 256)
 
         embedded = jnp.broadcast_to(
-            embedded_b[None], (t,) + embedded_b.shape
+            embedded_b[:, None], (b, t) + embedded_b.shape[1:]
         ).reshape(n, *embedded_b.shape[1:])
 
         ins_rgb_att = self.image_cm_encoder(
@@ -144,12 +144,15 @@ class HighLevelPolicy(nn.Module):
 
         x = jnp.concatenate(
             [rgb_in, depth_in, ins_rgb_att, ins_depth_att], axis=1
-        ).reshape(t, b, -1)
-        out, hidden = self.state_encoder(x, hidden, masks)
+        ).reshape(b, t, -1)
+        out, hidden = self.state_encoder(
+            jnp.swapaxes(x, 0, 1), hidden, jnp.swapaxes(masks, 0, 1)
+        )
+        out = jnp.swapaxes(out, 0, 1)  # (B, T, H)
 
         logits = self.linear(out)
         if single:
-            return logits[0], hidden
+            return logits[:, 0], hidden
         return logits, hidden
 
 
@@ -187,25 +190,25 @@ class LowLevelPolicy(nn.Module):
         hidden: jnp.ndarray,
         prev_actions: Optional[jnp.ndarray],
         masks: jnp.ndarray,
-        discrete_actions: jnp.ndarray,  # (T, B) or (B,) sub-task ids, 4 = pad
+        discrete_actions: jnp.ndarray,  # (B, T) or (B,) sub-task ids, 4 = pad
     ):
         mc = self.model_config
         single = observations["rgb"].ndim == 4
         if single:
             observations = {
-                k: (v[None] if k != "instruction" else v)
+                k: (v[:, None] if k != "instruction" else v)
                 for k, v in observations.items()
             }
-            masks = masks[None]
-            discrete_actions = discrete_actions[None]
+            masks = masks[:, None]
+            discrete_actions = discrete_actions[:, None]
 
-        t, b = observations["rgb"].shape[:2]
-        n = t * b
+        b, t = observations["rgb"].shape[:2]
+        n = b * t
         rgb = observations["rgb"].reshape((n,) + observations["rgb"].shape[2:])
         depth = observations["depth"].reshape((n,) + observations["depth"].shape[2:])
 
-        depth_embedding = jax.lax.stop_gradient(self.depth_encoder({"depth": depth}))
-        rgb_embedding = jax.lax.stop_gradient(self.rgb_encoder({"rgb": rgb}))
+        depth_embedding = self.depth_encoder({"depth": depth})
+        rgb_embedding = self.rgb_encoder({"rgb": rgb})
         if mc.ablate_depth:
             depth_embedding = depth_embedding * 0
         if mc.ablate_rgb:
@@ -218,11 +221,14 @@ class LowLevelPolicy(nn.Module):
 
         x = jnp.concatenate(
             [depth_embedding, rgb_embedding, sub], axis=1
-        ).reshape(t, b, -1)
-        out, hidden = self.state_encoder(x, hidden, masks)
+        ).reshape(b, t, -1)
+        out, hidden = self.state_encoder(
+            jnp.swapaxes(x, 0, 1), hidden, jnp.swapaxes(masks, 0, 1)
+        )
+        out = jnp.swapaxes(out, 0, 1)
 
         actions = self.linear(out)
         stop = self.stop_linear(out)
         if single:
-            return actions[0], stop[0], hidden
+            return actions[:, 0], stop[:, 0], hidden
         return actions, stop, hidden

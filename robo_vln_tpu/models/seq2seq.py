@@ -5,11 +5,11 @@ Equivalent of reference Seq2SeqNet
 final-state embedding ∥ depth embedding ∥ rgb embedding -> masked LSTM ->
 (velocity(2), stop(1)) heads + optional progress-monitor aux head.
 
-TPU-native layout: the policy consumes time-major sequences (T, B, ...) — the
-frozen conv encoders run over all T*B frames as one large batch (MXU-dense),
-and the recurrence is a single lax.scan.  A (B, ...) input is treated as a
-single step (eval rollout path).  The frozen encoders' outputs pass through
-``stop_gradient`` exactly as the reference freezes requires_grad.
+TPU-native layout: the policy consumes batch-major sequences (B, T, ...) — so
+the (B*T)-frame flatten feeding the conv encoders keeps the data-sharded batch
+axis outermost (no cross-device regrouping under GSPMD); the small
+post-encoder features are transposed time-major for the lax.scan.  A (B, ...)
+input is treated as a single step (eval rollout path).
 """
 
 from __future__ import annotations
@@ -30,8 +30,9 @@ from robo_vln_tpu.models.rnn_state_encoder import RNNStateEncoder
 
 
 def _flatten_time(x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
-    t, b = x.shape[0], x.shape[1]
-    return x.reshape((t * b,) + x.shape[2:]), t, b
+    """(B, T, ...) -> (B*T, ...): batch axis stays outermost (shard-friendly)."""
+    b, t = x.shape[0], x.shape[1]
+    return x.reshape((b * t,) + x.shape[2:]), b, t
 
 
 class Seq2SeqPolicy(nn.Module):
@@ -91,30 +92,28 @@ class Seq2SeqPolicy(nn.Module):
         self,
         observations: Dict[str, jnp.ndarray],
         hidden: jnp.ndarray,  # (layers, B, H)
-        prev_actions: Optional[jnp.ndarray],  # (T, B, 2) or (B, 2)
-        masks: jnp.ndarray,  # (T, B) or (B,) not-done masks
+        prev_actions: Optional[jnp.ndarray],  # (B, T, 2) or (B, 2)
+        masks: jnp.ndarray,  # (B, T) or (B,) not-done masks
     ):
         mc = self.model_config
         single = observations["rgb"].ndim == 4
         if single:
             observations = {
-                k: (v[None] if k != "instruction" else v)
+                k: (v[:, None] if k != "instruction" else v)
                 for k, v in observations.items()
             }
-            masks = masks[None]
+            masks = masks[:, None]
             if prev_actions is not None:
-                prev_actions = prev_actions[None]
+                prev_actions = prev_actions[:, None]
 
-        rgb, t, b = _flatten_time(observations["rgb"])
+        rgb, b, t = _flatten_time(observations["rgb"])
         depth, _, _ = _flatten_time(observations["depth"])
 
         instruction_embedding = self.instruction_encoder(
             observations["instruction"]
         )  # (B, Hi)
-        depth_embedding = jax.lax.stop_gradient(
-            self.depth_encoder({"depth": depth})
-        )
-        rgb_embedding = jax.lax.stop_gradient(self.rgb_encoder({"rgb": rgb}))
+        depth_embedding = self.depth_encoder({"depth": depth})
+        rgb_embedding = self.rgb_encoder({"rgb": rgb})
 
         if mc.ablate_instruction:
             instruction_embedding = instruction_embedding * 0
@@ -124,14 +123,14 @@ class Seq2SeqPolicy(nn.Module):
             rgb_embedding = rgb_embedding * 0
 
         ins = jnp.broadcast_to(
-            instruction_embedding[None],
-            (t,) + instruction_embedding.shape,
-        )  # (T, B, Hi)
+            instruction_embedding[:, None],
+            (b, t) + instruction_embedding.shape[1:],
+        )  # (B, T, Hi)
         x = jnp.concatenate(
             [
                 ins,
-                depth_embedding.reshape(t, b, -1),
-                rgb_embedding.reshape(t, b, -1),
+                depth_embedding.reshape(b, t, -1),
+                rgb_embedding.reshape(b, t, -1),
             ],
             axis=-1,
         )
@@ -141,7 +140,10 @@ class Seq2SeqPolicy(nn.Module):
             )[..., 0]
             x = jnp.concatenate([x, self.prev_action_embedding(pa)], axis=-1)
 
-        out, hidden = self.state_encoder(x, hidden, masks)  # (T, B, H)
+        out_tm, hidden = self.state_encoder(
+            jnp.swapaxes(x, 0, 1), hidden, jnp.swapaxes(masks, 0, 1)
+        )  # (T, B, H)
+        out = jnp.swapaxes(out_tm, 0, 1)  # (B, T, H)
 
         aux = {}
         if mc.PROGRESS_MONITOR.use:
@@ -150,5 +152,5 @@ class Seq2SeqPolicy(nn.Module):
         actions = self.linear(out)
         stop = self.stop_linear(out)
         if single:
-            return actions[0], stop[0], hidden, aux
+            return actions[:, 0], stop[:, 0], hidden, aux
         return actions, stop, hidden, aux

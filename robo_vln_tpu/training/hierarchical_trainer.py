@@ -1,0 +1,224 @@
+"""Hierarchical (HCM) trainer — the `hierarchical_trainer` equivalent.
+
+Mirrors the reference hierarchical RoboDaggerTrainer
+(/root/reference/robo_vln_baselines/hierarchical_trainer.py:277-988): two
+models with two optimizers (AdamW + CyclicLR high-level / Adam low-level,
+:330-337), an optimizer step per TBPTT window, scheduler step per outer batch
+(:739), per-epoch checkpoints with both state dicts, validation epoch with
+high-level accuracy.
+
+Where the reference splits the two modules over cuda:0/cuda:1 with a
+per-window device-to-device copy (:517-521), here BOTH updates run in ONE
+jitted XLA program on the mesh (steps.make_hier_train_step) — the copy
+disappears and the shared frozen encoders execute once.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robo_vln_tpu.data.loader import split_tbptt
+from robo_vln_tpu.models import build_hierarchical_policies
+from robo_vln_tpu.parallel import mesh as mesh_lib
+from robo_vln_tpu.training import checkpoint as ckpt_lib
+from robo_vln_tpu.training import optimizers as opt_lib
+from robo_vln_tpu.training import steps as steps_lib
+from robo_vln_tpu.training.trainer import BaseTrainer, RoboVLNTrainer, _dummy_batch
+from robo_vln_tpu.utils.logging import MetricsWriter, logger
+from robo_vln_tpu.utils.registry import register_trainer
+
+
+@register_trainer("hierarchical_trainer")
+class HierarchicalTrainer(BaseTrainer):
+    def __init__(self, config):
+        self.config = config
+        self.mesh = mesh_lib.make_training_mesh(
+            config.TPU.MESH_SHAPE, config.TPU.MESH_AXES, config.DAGGER.BATCH_SIZE
+        )
+        self.features_dir = config.DAGGER.LMDB_FEATURES_DIR.format(
+            split=config.TASK_CONFIG.DATASET.SPLIT
+        )
+        self.eval_dir = config.DAGGER.LMDB_EVAL_DIR
+        self.high = None
+        self.low = None
+        self.state: Optional[steps_lib.HierTrainState] = None
+
+    # reuse the flat trainer's batch pipeline
+    _batches = RoboVLNTrainer._batches
+
+    def _setup_policy(self, load_from_ckpt: bool = False, ckpt_path: str = ""):
+        cfg = self.config
+        self.high, self.low = build_hierarchical_policies(cfg.MODEL)
+        B = cfg.DAGGER.BATCH_SIZE
+        batch = _dummy_batch(cfg, B)
+        obs = {k: batch[k] for k in ("rgb", "depth", "instruction", "progress")}
+        rng = jax.random.PRNGKey(cfg.TASK_CONFIG.SEED)
+
+        hvars = self.high.init(
+            rng, obs, self.high.initial_hidden(B), batch["prev_actions"],
+            batch["not_done_masks"],
+        )
+        lvars = self.low.init(
+            jax.random.fold_in(rng, 1), obs, self.low.initial_hidden(B),
+            batch["prev_actions"], batch["not_done_masks"],
+            np.zeros((B, 2), np.int32),
+        )
+        hp, lp = hvars["params"], lvars["params"]
+        self._high_extra = {k: v for k, v in hvars.items() if k != "params"}
+        self._low_extra = {k: v for k, v in lvars.items() if k != "params"}
+        n_params = sum(
+            x.size for x in jax.tree.leaves(hp) + jax.tree.leaves(lp)
+        )
+        logger.info(f"agent number of parameters: {n_params}")
+
+        wd = cfg.MODEL.TRANSFORMER.weight_decay
+        self.tx_high = opt_lib.masked(opt_lib.adamw(wd), hp)
+        self.tx_low = opt_lib.masked(opt_lib.adam(wd), lp)
+        self.state = steps_lib.HierTrainState(
+            steps_lib.TrainState(hp, self.tx_high.init(hp), jnp.asarray(0)),
+            steps_lib.TrainState(lp, self.tx_low.init(lp), jnp.asarray(0)),
+        )
+        if load_from_ckpt and ckpt_path:
+            self.state = ckpt_lib.load_checkpoint(ckpt_path, self.state)
+            logger.info(f"Loaded weights from checkpoint: {ckpt_path}")
+
+        high_b = _bind(self.high, self._high_extra)
+        low_b = _bind(self.low, self._low_extra)
+        self.train_step = steps_lib.make_hier_train_step(
+            high_b, low_b, self.tx_high, self.tx_low, self.mesh,
+            donate=cfg.TPU.DONATE,
+        )
+        self.val_step = steps_lib.make_hier_val_step(high_b, low_b)
+
+    def save_checkpoint(self, file_name: str) -> None:
+        path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
+        ckpt_lib.save_checkpoint(
+            path, self.state, metadata={"config": self.config.to_dict()}
+        )
+
+    def train_epoch(self, batches, epoch, writer, train_steps):
+        cfg = self.config
+        lr_low = cfg.DAGGER.LR
+        scheduler_step = getattr(self, "_scheduler_step", 0)
+        for batch in batches:
+            B = cfg.DAGGER.BATCH_SIZE
+            hh = jax.device_put(
+                self.high.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
+            )
+            lh = jax.device_put(
+                self.low.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
+            )
+            lr_high = opt_lib.cyclic_triangular_lr(scheduler_step)
+            for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):
+                window = mesh_lib.shard_batch(self.mesh, window)
+                self.state, hh, lh, metrics = self.train_step(
+                    self.state, hh, lh, window, lr_high, lr_low
+                )
+                writer.add_scalar(
+                    "Train High Level Action Loss", metrics["high_level_loss"],
+                    train_steps,
+                )
+                writer.add_scalar(
+                    "Train Low Level Action Loss",
+                    metrics["low_level_action_loss"], train_steps,
+                )
+                writer.add_scalar(
+                    "Train Low Level Stop Loss", metrics["low_level_stop_loss"],
+                    train_steps,
+                )
+                writer.add_scalar(
+                    "Train Low_level Total Loss",
+                    metrics["low_level_total_loss"], train_steps,
+                )
+                train_steps += 1
+            scheduler_step += 1  # per outer batch (hierarchical_trainer.py:739)
+        self._scheduler_step = scheduler_step
+        self.save_checkpoint(f"ckpt.{cfg.DAGGER.EPOCHS + epoch}")
+        return train_steps
+
+    def val_epoch(self, batches, epoch, writer, val_steps):
+        cfg = self.config
+        high_losses, low_losses, accs = [], [], []
+        for batch in batches:
+            B = cfg.DAGGER.BATCH_SIZE
+            hh = jax.device_put(
+                self.high.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
+            )
+            lh = jax.device_put(
+                self.low.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
+            )
+            for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):
+                window = mesh_lib.shard_batch(self.mesh, window)
+                hh, lh, metrics = self.val_step(
+                    self.state.high.params, self.state.low.params, hh, lh, window
+                )
+                writer.add_scalar(
+                    "Val High Level Loss", metrics["high_level_loss"], val_steps
+                )
+                writer.add_scalar(
+                    "Val Low Level Loss", metrics["low_level_total_loss"],
+                    val_steps,
+                )
+                val_steps += 1
+                high_losses.append(float(metrics["high_level_loss"]))
+                low_losses.append(float(metrics["low_level_total_loss"]))
+                accs.append(float(metrics["high_level_accuracy"]))
+        if high_losses:
+            writer.add_scalar(
+                "Val High Level Loss Epoch", float(np.mean(high_losses)), epoch
+            )
+            writer.add_scalar(
+                "Val Low Level Loss Epoch", float(np.mean(low_losses)), epoch
+            )
+            writer.add_scalar(
+                "Validation Accuracy", 100.0 * float(np.mean(accs)), epoch
+            )
+        return val_steps
+
+    def train(self) -> None:
+        cfg = self.config
+        os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+        if not cfg.DAGGER.PRELOAD_LMDB_FEATURES:
+            from robo_vln_tpu.envs.collection import collect_dataset
+
+            collect_dataset(cfg, self.features_dir)
+            logger.info("Data collection complete")
+            return
+
+        self._setup_policy(cfg.DAGGER.LOAD_FROM_CKPT, cfg.DAGGER.CKPT_TO_LOAD)
+        with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+            train_steps = 0
+            val_steps = 0
+            for dagger_it in range(cfg.DAGGER.ITERATIONS):
+                for epoch in range(cfg.DAGGER.EPOCHS):
+                    t0 = time.time()
+                    train_steps = self.train_epoch(
+                        self._batches(self.features_dir, seed=epoch),
+                        epoch, writer, train_steps,
+                    )
+                    val_steps = self.val_epoch(
+                        self._batches(self.eval_dir, seed=epoch),
+                        epoch, writer, val_steps,
+                    )
+                    logger.info(
+                        f"epoch {epoch} done in {time.time() - t0:.1f}s"
+                    )
+
+    def _eval_checkpoint(self, checkpoint_path, writer, checkpoint_index=0):
+        from robo_vln_tpu.eval.evaluator import eval_hierarchical_checkpoint
+
+        eval_hierarchical_checkpoint(self, checkpoint_path, writer, checkpoint_index)
+
+
+def _bind(policy, extra):
+    class _Bound:
+        def apply(self, variables, *args, **kwargs):
+            return policy.apply({**extra, **variables}, *args, **kwargs)
+
+    return _Bound()

@@ -1,0 +1,209 @@
+"""Jitted, mesh-sharded train/val steps.
+
+One call = one TBPTT window (reference semantics: optimizer step per split,
+robo_vln_trainer.py:614-648).  Static-shape bucketing (data/loader.py) makes
+every window the same shape, so each step function compiles exactly once.
+
+Data-parallel layout: batches sharded over the "data" mesh axis, params and
+optimizer state replicated — the GSPMD partitioner inserts the gradient
+all-reduces over ICI (replacing the reference's never-used NCCL DDP stanza,
+SURVEY.md §2.6).  Buffers are donated so params/opt-state update in place.
+
+Losses reproduce the reference's masking exactly (ops/losses.py).  The
+hierarchical step trains BOTH modules in one XLA program — the reference's
+cuda:0 -> cuda:1 crossing (hierarchical_trainer.py:517-521) does not exist.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from robo_vln_tpu.ops import losses
+from robo_vln_tpu.parallel import mesh as mesh_lib
+from robo_vln_tpu.training import optimizers as opt_lib
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class HierTrainState(NamedTuple):
+    high: TrainState
+    low: TrainState
+
+
+def _flat_losses(policy, params, batch, hidden, progress_alpha, use_progress):
+    obs = {
+        k: batch[k]
+        for k in batch
+        if k not in (
+            "prev_actions", "corrected_actions", "oracle_stop",
+            "not_done_masks", "valid_mask",
+        )
+    }
+    actions, stop, new_hidden, aux = policy.apply(
+        {"params": params}, obs, hidden, batch["prev_actions"],
+        batch["not_done_masks"],
+    )
+    corrected = batch["corrected_actions"].reshape(-1, 2)
+    action_loss = losses.masked_velocity_mse(actions.reshape(-1, 2), corrected)
+    stop_loss = losses.masked_stop_bce(
+        stop.reshape(-1, 1), batch["oracle_stop"].reshape(-1, 1)
+    )
+    aux_loss = jnp.asarray(0.0)
+    if use_progress and "progress_hat" in aux:
+        aux_mask = corrected[:, 0] != 0  # reference aux_mask (:531-532)
+        aux_loss = progress_alpha * losses.progress_monitor_mse(
+            aux["progress_hat"].reshape(-1),
+            batch["progress"].reshape(-1),
+            aux_mask,
+        )
+    return action_loss, stop_loss, aux_loss, new_hidden
+
+
+def make_flat_train_step(policy, tx, mesh, use_progress=False,
+                         progress_alpha=1.0, donate=True):
+    """Returns jitted (state, hidden, batch, lr) -> (state, hidden, metrics)."""
+
+    def step_fn(state: TrainState, hidden, batch, lr):
+        def loss_fn(params):
+            a, s, x, new_hidden = _flat_losses(
+                policy, params, batch, hidden, progress_alpha, use_progress
+            )
+            return a + s + x, (a, s, x, new_hidden)
+
+        grads, (a, s, x, new_hidden) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt_lib.apply_updates(
+            tx, grads, state.opt_state, state.params, lr
+        )
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = {"action_loss": a, "stop_loss": s, "aux_loss": x,
+                   "total_loss": a + s + x}
+        return TrainState(params, opt_state, state.step + 1), new_hidden, metrics
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_args)
+
+
+def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0):
+    def step_fn(params, hidden, batch):
+        a, s, x, new_hidden = _flat_losses(
+            policy, params, batch, hidden, progress_alpha, use_progress
+        )
+        return new_hidden, {"action_loss": a, "stop_loss": s, "aux_loss": x,
+                            "total_loss": a + s + x}
+
+    return jax.jit(step_fn)
+
+
+def _hier_losses(high, low, high_params, low_params, batch,
+                 high_hidden, low_hidden):
+    obs = {
+        k: batch[k]
+        for k in batch
+        if k not in (
+            "prev_actions", "corrected_actions", "oracle_stop",
+            "not_done_masks", "valid_mask", "vln_oracle_action_sensor",
+        )
+    }
+    oracle = batch["vln_oracle_action_sensor"]
+    b, t = batch["not_done_masks"].shape
+    oracle_flat = oracle.reshape(-1).astype(jnp.int32)
+
+    logits, new_high_hidden = high.apply(
+        {"params": high_params}, obs, high_hidden, batch["prev_actions"],
+        batch["not_done_masks"],
+    )
+    hl_loss = losses.subgoal_cross_entropy(logits.reshape(-1, 4), oracle_flat)
+
+    # low level consumes oracle sub-goals: (sensor-1), pad 0 -> index 4
+    disc = jnp.where(oracle_flat == 0, 4, oracle_flat - 1).reshape(b, t)
+    actions, stop, new_low_hidden = low.apply(
+        {"params": low_params}, obs, low_hidden, batch["prev_actions"],
+        batch["not_done_masks"], disc,
+    )
+    ll_action = losses.masked_velocity_mse(
+        actions.reshape(-1, 2), batch["corrected_actions"].reshape(-1, 2)
+    )
+    ll_stop = losses.masked_stop_bce(
+        stop.reshape(-1, 1), batch["oracle_stop"].reshape(-1, 1)
+    )
+    # high-level accuracy on non-ignored steps (val metric, :583-588)
+    pred = jnp.argmax(logits.reshape(-1, 4), axis=1)
+    valid = oracle_flat != 0
+    correct = jnp.sum((pred == oracle_flat - 1) & valid)
+    total = jnp.maximum(jnp.sum(valid), 1)
+    return (hl_loss, ll_action, ll_stop, new_high_hidden, new_low_hidden,
+            correct / total)
+
+
+def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True):
+    """One program, two optimizers (AdamW high / Adam low), two LRs."""
+
+    def step_fn(state: HierTrainState, high_hidden, low_hidden, batch,
+                lr_high, lr_low):
+        # The high-level loss is independent of low-level params and vice
+        # versa (the low level trains on ORACLE sub-goals,
+        # hierarchical_trainer.py:522-535), so one combined grad equals the
+        # reference's two sequential backward passes while sharing the forward.
+        def loss_fn(both):
+            hp, lp = both
+            out = _hier_losses(
+                high, low, hp, lp, batch, high_hidden, low_hidden
+            )
+            return out[0] + out[1] + out[2], out
+
+        (hgrads, lgrads), out = jax.grad(loss_fn, has_aux=True)(
+            (state.high.params, state.low.params)
+        )
+        hl_loss, ll_action, ll_stop, new_hh, new_lh, acc = out
+
+        hupd, hopt = opt_lib.apply_updates(
+            tx_high, hgrads, state.high.opt_state, state.high.params, lr_high
+        )
+        lupd, lopt = opt_lib.apply_updates(
+            tx_low, lgrads, state.low.opt_state, state.low.params, lr_low
+        )
+        new_state = HierTrainState(
+            TrainState(
+                jax.tree.map(lambda p, u: p + u, state.high.params, hupd),
+                hopt, state.high.step + 1,
+            ),
+            TrainState(
+                jax.tree.map(lambda p, u: p + u, state.low.params, lupd),
+                lopt, state.low.step + 1,
+            ),
+        )
+        metrics = {
+            "high_level_loss": hl_loss,
+            "low_level_action_loss": ll_action,
+            "low_level_stop_loss": ll_stop,
+            "low_level_total_loss": ll_action + ll_stop,
+            "high_level_accuracy": acc,
+        }
+        return new_state, new_hh, new_lh, metrics
+
+    donate_args = (0, 1, 2) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_args)
+
+
+def make_hier_val_step(high, low):
+    def step_fn(high_params, low_params, high_hidden, low_hidden, batch):
+        hl, lla, lls, nhh, nlh, acc = _hier_losses(
+            high, low, high_params, low_params, batch, high_hidden, low_hidden
+        )
+        return nhh, nlh, {
+            "high_level_loss": hl,
+            "low_level_action_loss": lla,
+            "low_level_stop_loss": lls,
+            "low_level_total_loss": lla + lls,
+            "high_level_accuracy": acc,
+        }
+
+    return jax.jit(step_fn)

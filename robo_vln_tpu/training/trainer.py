@@ -1,0 +1,262 @@
+"""Flat IL trainer (Seq2Seq / CMA) — the `robo_vln_trainer` equivalent.
+
+Mirrors the reference RoboDaggerTrainer
+(/root/reference/robo_vln_baselines/robo_vln_trainer.py:294-954):
+DAgger-iteration loop -> epochs -> per-batch TBPTT windows with an optimizer
+step per window, per-epoch checkpoints, a validation epoch on the eval buffer.
+
+TPU mapping:
+* training never touches the simulator (PRELOAD path, all paper configs) —
+  the buffer feeds static-shape bucketed batches; every TBPTT window hits the
+  SAME compiled program;
+* data parallelism: batch sharded over the mesh "data" axis (the reference's
+  dormant DDP stanza);
+* checkpoints carry optimizer state (the reference's don't — resume is exact
+  here).
+
+Data collection (`_update_dataset`) and closed-loop eval live behind the env
+layer (envs/, eval/) and run host-side.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robo_vln_tpu.data.loader import (
+    TrajectoryDataset,
+    batch_iterator,
+    split_tbptt,
+)
+from robo_vln_tpu.models import build_flat_policy
+from robo_vln_tpu.parallel import mesh as mesh_lib
+from robo_vln_tpu.training import checkpoint as ckpt_lib
+from robo_vln_tpu.training import optimizers as opt_lib
+from robo_vln_tpu.training import steps as steps_lib
+from robo_vln_tpu.utils.logging import MetricsWriter, logger
+from robo_vln_tpu.utils.registry import register_trainer
+
+
+def _dummy_batch(config, batch_size: int, t: int = 2) -> Dict[str, np.ndarray]:
+    """Abstract-init batch with the task's static shapes."""
+    sim = config.TASK_CONFIG.SIMULATOR
+    L = config.DAGGER.MAX_INSTRUCTION_LEN
+    return {
+        "rgb": np.zeros(
+            (batch_size, t, sim.RGB_SENSOR.HEIGHT, sim.RGB_SENSOR.WIDTH, 3),
+            np.float32,
+        ),
+        "depth": np.zeros(
+            (batch_size, t, sim.DEPTH_SENSOR.HEIGHT, sim.DEPTH_SENSOR.WIDTH, 1),
+            np.float32,
+        ),
+        "instruction": np.zeros((batch_size, L), np.int32),
+        "progress": np.zeros((batch_size, t), np.float32),
+        "vln_oracle_action_sensor": np.zeros((batch_size, t), np.float32),
+        "prev_actions": np.zeros((batch_size, t, 2), np.float32),
+        "corrected_actions": np.zeros((batch_size, t, 2), np.float32),
+        "oracle_stop": np.full((batch_size, t, 1), -1.0, np.float32),
+        "not_done_masks": np.ones((batch_size, t), np.float32),
+        "valid_mask": np.zeros((batch_size, t), np.float32),
+    }
+
+
+class BaseTrainer:
+    """Shared eval dispatch: poll EVAL_CKPT_PATH_DIR like the reference's
+    BaseRLTrainer.eval (SURVEY.md §3.3)."""
+
+    def eval(self) -> None:
+        from robo_vln_tpu.utils.logging import MetricsWriter
+
+        path = self.config.EVAL_CKPT_PATH_DIR
+        with MetricsWriter(self.config.TENSORBOARD_DIR) as writer:
+            if os.path.isdir(path) and not os.path.exists(
+                os.path.join(path, "framework_metadata.json")
+            ):
+                ckpts = ckpt_lib.list_checkpoints(path)
+                for i, ck in enumerate(ckpts):
+                    self._eval_checkpoint(ck, writer, checkpoint_index=i)
+            else:
+                self._eval_checkpoint(path, writer, checkpoint_index=0)
+
+
+@register_trainer("robo_vln_trainer")
+class RoboVLNTrainer(BaseTrainer):
+    def __init__(self, config):
+        self.config = config
+        self.mesh = mesh_lib.make_training_mesh(
+            config.TPU.MESH_SHAPE, config.TPU.MESH_AXES, config.DAGGER.BATCH_SIZE
+        )
+        self.features_dir = config.DAGGER.LMDB_FEATURES_DIR.format(
+            split=config.TASK_CONFIG.DATASET.SPLIT
+        )
+        self.eval_dir = config.DAGGER.LMDB_EVAL_DIR
+        self.policy = None
+        self.state: Optional[steps_lib.TrainState] = None
+
+    # -- setup ---------------------------------------------------------------
+    def _setup_policy(self, load_from_ckpt: bool = False, ckpt_path: str = ""):
+        cfg = self.config
+        self.policy = build_flat_policy(cfg.MODEL)
+        batch = _dummy_batch(cfg, cfg.DAGGER.BATCH_SIZE)
+        hidden = self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE)
+        obs = {
+            k: batch[k]
+            for k in ("rgb", "depth", "instruction", "progress")
+        }
+        rng = jax.random.PRNGKey(cfg.TASK_CONFIG.SEED)
+        variables = self.policy.init(
+            rng, obs, hidden, batch["prev_actions"], batch["not_done_masks"]
+        )
+        params = variables["params"]
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        logger.info(f"agent number of parameters: {n_params}")
+
+        self.tx = opt_lib.masked(opt_lib.adam(), params)
+        opt_state = self.tx.init(params)
+        self.state = steps_lib.TrainState(params, opt_state, jnp.asarray(0))
+        self.extra_variables = {
+            k: v for k, v in variables.items() if k != "params"
+        }
+
+        if load_from_ckpt and ckpt_path:
+            self.state = ckpt_lib.load_checkpoint(ckpt_path, self.state)
+            logger.info(f"Loaded weights from checkpoint: {ckpt_path}")
+
+        use_pm = cfg.MODEL.PROGRESS_MONITOR.use
+        self.train_step = steps_lib.make_flat_train_step(
+            self._bound_policy(), self.tx, self.mesh,
+            use_progress=use_pm, progress_alpha=cfg.MODEL.PROGRESS_MONITOR.alpha,
+            donate=cfg.TPU.DONATE,
+        )
+        self.val_step = steps_lib.make_flat_val_step(
+            self._bound_policy(), use_progress=use_pm,
+            progress_alpha=cfg.MODEL.PROGRESS_MONITOR.alpha,
+        )
+
+    def _bound_policy(self):
+        """Policy whose apply() closes over non-param collections (BN stats)."""
+        policy = self.policy
+        extra = self.extra_variables
+
+        class _Bound:
+            def apply(self, variables, *args, **kwargs):
+                return policy.apply({**extra, **variables}, *args, **kwargs)
+
+        return _Bound()
+
+    def save_checkpoint(self, file_name: str) -> None:
+        path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
+        ckpt_lib.save_checkpoint(
+            path, self.state, metadata={"config": self.config.to_dict()}
+        )
+
+    # -- epochs ---------------------------------------------------------------
+    def _batches(self, features_dir: str, seed: int) -> Iterator[Dict]:
+        cfg = self.config
+        dataset = TrajectoryDataset(
+            features_dir,
+            batch_size=cfg.DAGGER.BATCH_SIZE,
+            is_bert=cfg.MODEL.INSTRUCTION_ENCODER.is_bert,
+            use_iw=cfg.DAGGER.USE_IW,
+            inflection_weight_coef=cfg.MODEL.inflection_weight_coef,
+            seed=seed,
+        )
+        return batch_iterator(
+            dataset,
+            cfg.DAGGER.BATCH_SIZE,
+            list(cfg.DAGGER.EPISODE_LEN_BUCKETS),
+            cfg.DAGGER.MAX_INSTRUCTION_LEN,
+        )
+
+    def train_epoch(self, batches, epoch: int, writer, train_steps: int) -> int:
+        cfg = self.config
+        lr = cfg.DAGGER.LR
+        for batch in batches:
+            hidden = jax.device_put(
+                self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE),
+                mesh_lib.hidden_sharding(self.mesh),
+            )
+            for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):
+                window = mesh_lib.shard_batch(self.mesh, window)
+                self.state, hidden, metrics = self.train_step(
+                    self.state, hidden, window, lr
+                )
+                writer.add_scalar("Action Loss", metrics["action_loss"], train_steps)
+                writer.add_scalar("Stop Loss", metrics["stop_loss"], train_steps)
+                writer.add_scalar("Aux Loss", metrics["aux_loss"], train_steps)
+                writer.add_scalar("Total Loss", metrics["total_loss"], train_steps)
+                train_steps += 1
+        self.save_checkpoint(f"ckpt.{cfg.DAGGER.EPOCHS + epoch}")
+        return train_steps
+
+    def val_epoch(self, batches, epoch: int, writer, val_steps: int) -> int:
+        cfg = self.config
+        losses = []
+        for batch in batches:
+            hidden = jax.device_put(
+                self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE),
+                mesh_lib.hidden_sharding(self.mesh),
+            )
+            for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):
+                window = mesh_lib.shard_batch(self.mesh, window)
+                hidden, metrics = self.val_step(self.state.params, hidden, window)
+                writer.add_scalar("Val Action Loss", metrics["action_loss"], val_steps)
+                writer.add_scalar("Val Stop Loss", metrics["stop_loss"], val_steps)
+                writer.add_scalar("Val Total Loss", metrics["total_loss"], val_steps)
+                val_steps += 1
+                losses.append(float(metrics["total_loss"]))
+        if losses:
+            writer.add_scalar("Val Loss Epoch", float(np.mean(losses)), val_steps)
+        return val_steps
+
+    # -- main loop -------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.config
+        os.makedirs(os.path.dirname(self.features_dir) or ".", exist_ok=True)
+        os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+
+        if not cfg.DAGGER.PRELOAD_LMDB_FEATURES:
+            self._update_dataset(0)
+            logger.info("Data collection complete")
+            return
+
+        self._setup_policy(cfg.DAGGER.LOAD_FROM_CKPT, cfg.DAGGER.CKPT_TO_LOAD)
+
+        with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+            train_steps = 0
+            val_steps = 0
+            for dagger_it in range(cfg.DAGGER.ITERATIONS):
+                for epoch in range(cfg.DAGGER.EPOCHS):
+                    t0 = time.time()
+                    train_steps = self.train_epoch(
+                        self._batches(self.features_dir, seed=epoch),
+                        epoch, writer, train_steps,
+                    )
+                    val_steps = self.val_epoch(
+                        self._batches(self.eval_dir, seed=epoch),
+                        epoch, writer, val_steps,
+                    )
+                    logger.info(
+                        f"epoch {epoch} done in {time.time() - t0:.1f}s "
+                        f"({train_steps} train steps)"
+                    )
+
+    # -- sim-facing paths (host-side; see envs/ and eval/) ---------------------
+    def _update_dataset(self, data_it: int) -> None:
+        from robo_vln_tpu.envs.collection import collect_dataset
+
+        collect_dataset(self.config, self.features_dir)
+
+    def _eval_checkpoint(self, checkpoint_path: str, writer,
+                         checkpoint_index: int = 0) -> None:
+        from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint
+
+        eval_flat_checkpoint(
+            self, checkpoint_path, writer, checkpoint_index
+        )

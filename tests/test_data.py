@@ -112,18 +112,18 @@ def test_collate_and_tbptt(tmp_path, rng):
     batches = list(batch_iterator(ds, 2, buckets, max_instruction_len=20))
     assert len(batches) == 2
     for b in batches:
-        T, B = b["prev_actions"].shape[:2]
+        B, T = b["prev_actions"].shape[:2]
         assert T in buckets and B == 2
         assert b["instruction"].shape == (2, 20)
-        assert b["not_done_masks"][0].sum() == 0
-        assert (b["not_done_masks"][1:] == 1).all()
+        assert b["not_done_masks"][:, 0].sum() == 0
+        assert (b["not_done_masks"][:, 1:] == 1).all()
         # padding: oracle_stop -1 exactly where valid_mask is 0
         pad = b["valid_mask"] == 0
         assert (b["oracle_stop"][..., 0][pad] == -1).all()
         assert (b["oracle_stop"][..., 0][~pad] != -1).all()
 
         wins = list(split_tbptt(b, 8))
-        assert sum(w["prev_actions"].shape[0] for w in wins) == T
+        assert sum(w["prev_actions"].shape[1] for w in wins) == T
         assert all(w["instruction"].shape == (2, 20) for w in wins)
 
 

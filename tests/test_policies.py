@@ -39,10 +39,10 @@ def tiny_model_config(**overrides):
 
 def tiny_obs(rng, t=2, b=2, L=12, rgb_hw=64, depth_hw=64):
     return {
-        "rgb": jnp.asarray(rng.integers(0, 255, (t, b, rgb_hw, rgb_hw, 3)), jnp.float32),
-        "depth": jnp.asarray(rng.random((t, b, depth_hw, depth_hw, 1)), jnp.float32),
+        "rgb": jnp.asarray(rng.integers(0, 255, (b, t, rgb_hw, rgb_hw, 3)), jnp.float32),
+        "depth": jnp.asarray(rng.random((b, t, depth_hw, depth_hw, 1)), jnp.float32),
         "instruction": jnp.asarray(rng.integers(1, 100, (b, L)), jnp.int32),
-        "progress": jnp.asarray(rng.random((t, b)), jnp.float32),
+        "progress": jnp.asarray(rng.random((b, t)), jnp.float32),
     }
 
 
@@ -65,19 +65,19 @@ def test_seq2seq_policy_shapes(rng):
     policy = Seq2SeqPolicy(model_config=mc)
     t, b = 3, 2
     obs = tiny_obs(rng, t, b)
-    masks = jnp.ones((t, b)).at[0].set(0.0)
+    masks = jnp.ones((b, t)).at[:, 0].set(0.0)
     hidden = policy.initial_hidden(b)
     params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
 
     actions, stop, hid, aux = policy.apply(params, obs, hidden, None, masks)
-    assert actions.shape == (t, b, 2)
-    assert stop.shape == (t, b, 1)
+    assert actions.shape == (b, t, 2)
+    assert stop.shape == (b, t, 1)
     assert hid.shape == hidden.shape
 
     # single-step path consistent with T=1 seq path
-    obs1 = {k: (v[0] if k != "instruction" else v) for k, v in obs.items()}
+    obs1 = {k: (v[:, 0] if k != "instruction" else v) for k, v in obs.items()}
     a1, s1, h1, _ = policy.apply(params, obs1, hidden, None, jnp.zeros((b,)))
-    np.testing.assert_allclose(np.asarray(a1), np.asarray(actions[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(actions[:, 0]), atol=1e-5)
 
 
 def test_seq2seq_progress_monitor_aux(rng):
@@ -90,11 +90,11 @@ def test_seq2seq_progress_monitor_aux(rng):
     policy = Seq2SeqPolicy(model_config=mc)
     t, b = 2, 2
     obs = tiny_obs(rng, t, b)
-    masks = jnp.ones((t, b))
+    masks = jnp.ones((b, t))
     hidden = policy.initial_hidden(b)
     params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
     _, _, _, aux = policy.apply(params, obs, hidden, None, masks)
-    assert aux["progress_hat"].shape == (t, b)
+    assert aux["progress_hat"].shape == (b, t)
 
 
 def test_cma_policy_shapes_and_grads(rng):
@@ -105,7 +105,7 @@ def test_cma_policy_shapes_and_grads(rng):
     policy = CMAPolicy(model_config=mc)
     t, b = 2, 1
     obs = tiny_obs(rng, t, b, rgb_hw=64, depth_hw=64)
-    masks = jnp.ones((t, b)).at[0].set(0.0)
+    masks = jnp.ones((b, t)).at[:, 0].set(0.0)
     hidden = policy.initial_hidden(b)
     params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
 
@@ -134,19 +134,19 @@ def test_hierarchical_policies(rng):
     high, low = build_hierarchical_policies(mc)
     t, b = 2, 1
     obs = tiny_obs(rng, t, b)
-    masks = jnp.ones((t, b)).at[0].set(0.0)
+    masks = jnp.ones((b, t)).at[:, 0].set(0.0)
 
     hh = high.initial_hidden(b)
     hp = high.init(jax.random.PRNGKey(0), obs, hh, None, masks)
     logits, hh2 = high.apply(hp, obs, hh, None, masks)
-    assert logits.shape == (t, b, 4)
+    assert logits.shape == (b, t, 4)
 
     lh = low.initial_hidden(b)
-    disc = jnp.asarray(rng.integers(0, 5, (t, b)), jnp.int32)
+    disc = jnp.asarray(rng.integers(0, 5, (b, t)), jnp.int32)
     lp = low.init(jax.random.PRNGKey(1), obs, lh, None, masks, disc)
     acts, stop, lh2 = low.apply(lp, obs, lh, None, masks, disc)
-    assert acts.shape == (t, b, 2)
-    assert stop.shape == (t, b, 1)
+    assert acts.shape == (b, t, 2)
+    assert stop.shape == (b, t, 1)
 
     # padding sub-task id (4) embeds to the zero vector
     emb_table = lp["params"]["sub_task_embedding"]["embedding"]
@@ -154,7 +154,7 @@ def test_hierarchical_policies(rng):
 
     from robo_vln_tpu.models.hierarchical import LowLevelPolicy
 
-    ids = jnp.full((t, b), 4, jnp.int32)
+    ids = jnp.full((b, t), 4, jnp.int32)
     acts0, _, _ = low.apply(lp, obs, lh, None, masks, ids)
     # indirectly verified: a forward with pad ids must not depend on the table row
     lp2 = jax.tree.map(lambda x: x, lp)

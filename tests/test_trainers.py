@@ -1,0 +1,173 @@
+"""End-to-end trainer integration on the virtual 8-device CPU mesh: synthetic
+expert buffer -> bucketed batches -> jitted sharded train steps -> decreasing
+loss -> orbax checkpoint round-trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robo_vln_tpu.config.default import get_config
+from robo_vln_tpu.data.loader import write_episode
+from robo_vln_tpu.data.trajectory_store import TrajectoryStore
+
+
+def tiny_config(tmp_path, trainer="robo_vln_trainer", batch_size=8):
+    cfg = get_config().clone().defrost()
+    cfg.TRAINER_NAME = trainer
+    cfg.DAGGER.BATCH_SIZE = batch_size
+    cfg.DAGGER.EPOCHS = 1
+    cfg.DAGGER.tbptt_steps = 4
+    cfg.DAGGER.EPISODE_LEN_BUCKETS = [4, 8]
+    cfg.DAGGER.MAX_INSTRUCTION_LEN = 12
+    cfg.DAGGER.PRELOAD_LMDB_FEATURES = True
+    cfg.DAGGER.LMDB_FEATURES_DIR = str(tmp_path / "train_buf")
+    cfg.DAGGER.LMDB_EVAL_DIR = str(tmp_path / "eval_buf")
+    cfg.CHECKPOINT_FOLDER = str(tmp_path / "ckpts")
+    cfg.TENSORBOARD_DIR = str(tmp_path / "tb")
+    # tiny shapes
+    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 64
+    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = 64
+    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH = 64
+    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT = 64
+    mc = cfg.MODEL
+    mc.INSTRUCTION_ENCODER.vocab_size = 60
+    mc.INSTRUCTION_ENCODER.use_pretrained_embeddings = False
+    mc.STATE_ENCODER.hidden_size = 32
+    mc.INSTRUCTION_ENCODER.hidden_size = 16
+    mc.RGB_ENCODER.output_size = 16
+    mc.DEPTH_ENCODER.output_size = 8
+    mc.BERT.num_layers = 1
+    mc.BERT.hidden_size = 16
+    mc.BERT.num_heads = 2
+    mc.BERT.intermediate_size = 32
+    mc.BERT.vocab_size = 60
+    mc.VISUAL_LING_ATTN.ins_in_features = 16
+    mc.VISUAL_LING_ATTN.d_model = 16
+    mc.VISUAL_LING_ATTN.d_ff = 32
+    mc.VISUAL_LING_ATTN.h = 2
+    return cfg
+
+
+def fill_buffer(path, rng, n_eps=16, t_range=(5, 8), hw=64, instr_len=10):
+    with TrajectoryStore(path, writable=True) as store:
+        for k in range(n_eps):
+            t = int(rng.integers(*t_range))
+            obs = {
+                "rgb": rng.integers(0, 255, (t, hw, hw, 3)).astype(np.float32),
+                "depth": rng.random((t, hw, hw, 1)).astype(np.float32),
+                "progress": np.linspace(0, 1, t).astype(np.float32),
+                "vln_oracle_action_sensor": rng.integers(1, 4, (t, 1)).astype(
+                    np.float64
+                ),
+                "instruction": np.tile(
+                    rng.integers(1, 50, (1, instr_len)).astype(np.float64), (t, 1)
+                ),
+                "glove_tokens": np.tile(
+                    rng.integers(1, 50, (1, instr_len)).astype(np.float64), (t, 1)
+                ),
+            }
+            prev = rng.standard_normal((t, 2)) * 0.1
+            corr = rng.standard_normal((t, 2)) * 0.5 + 0.5
+            write_episode(store, k, obs, prev, corr, [t - 1] * t)
+        store.flush()
+
+
+def test_flat_trainer_end_to_end(tmp_path, rng):
+    assert len(jax.devices()) == 8, "tests expect the virtual 8-device mesh"
+    cfg = tiny_config(tmp_path)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.freeze()
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng)
+    fill_buffer(cfg.DAGGER.LMDB_EVAL_DIR, rng, n_eps=8)
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+
+    trainer = RoboVLNTrainer(cfg)
+    assert trainer.mesh.devices.size == 8
+    trainer.train()
+
+    # loss decreased over the epoch
+    import json
+
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.TENSORBOARD_DIR, "metrics.jsonl"))
+    ]
+    totals = [m["value"] for m in metrics if m["tag"] == "Total Loss"]
+    assert len(totals) >= 3
+    assert totals[-1] < totals[0]
+
+    # checkpoint round-trip restores exactly
+    from robo_vln_tpu.training import checkpoint as ckpt_lib
+
+    ckpts = ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
+    assert ckpts
+    restored = ckpt_lib.load_checkpoint(ckpts[-1], trainer.state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(trainer.state.params), restored.params,
+    )
+
+
+def test_flat_trainer_params_update_and_frozen(tmp_path, rng):
+    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.MODEL.PROGRESS_MONITOR.use = True
+    cfg.freeze()
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=4)
+    fill_buffer(cfg.DAGGER.LMDB_EVAL_DIR, rng, n_eps=2)
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+
+    trainer = RoboVLNTrainer(cfg)
+    trainer._setup_policy()
+    p0 = jax.device_get(trainer.state.params)
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        trainer.train_epoch(
+            trainer._batches(cfg.DAGGER.LMDB_FEATURES_DIR, 0), 0, writer, 0
+        )
+    p1 = jax.device_get(trainer.state.params)
+    assert not np.allclose(p1["linear"]["kernel"], p0["linear"]["kernel"])
+
+
+def test_hierarchical_trainer_end_to_end(tmp_path, rng):
+    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=4)
+    cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
+    cfg.freeze()
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=8)
+    fill_buffer(cfg.DAGGER.LMDB_EVAL_DIR, rng, n_eps=4)
+
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+
+    trainer = HierarchicalTrainer(cfg)
+    trainer.train()
+
+    import json
+
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.TENSORBOARD_DIR, "metrics.jsonl"))
+    ]
+    hl = [m["value"] for m in metrics if m["tag"] == "Train High Level Action Loss"]
+    ll = [m["value"] for m in metrics if m["tag"] == "Train Low_level Total Loss"]
+    assert hl and ll
+    assert hl[-1] < hl[0]
+    # frozen BERT untouched by AdamW decay (masked out of the optimizer)
+    assert np.isfinite(hl).all() and np.isfinite(ll).all()
+
+
+def test_trainer_registry():
+    import robo_vln_tpu.training.hierarchical_trainer  # noqa: F401
+    import robo_vln_tpu.training.trainer  # noqa: F401
+    from robo_vln_tpu.utils.registry import get_trainer
+
+    assert get_trainer("robo_vln_trainer").__name__ == "RoboVLNTrainer"
+    assert get_trainer("hierarchical_trainer").__name__ == "HierarchicalTrainer"
