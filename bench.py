@@ -1,0 +1,111 @@
+"""Benchmark: HCM teacher-forced policy forward throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+value    = frames/sec of the full-size hierarchical agent forward (frozen
+           BERT-base instruction embedding + 4 ResNet50 passes per frame +
+           cross-modal attention + both LSTMs), jitted, bfloat16 compute,
+           teacher-forced windows of B x T frames.
+vs_baseline = value / PyTorch-CPU frames/sec of the equivalent forward
+           (benchmarks/torch_hcm.py), measured once and cached in
+           benchmarks/baseline_cache.json.
+
+Measurement method: the single-chip TPU here sits behind a host tunnel where
+per-call dispatch costs ~30 ms and device->host transfers are slow, so naive
+per-call timing is meaningless.  The forward is iterated K times INSIDE one
+jitted lax.fori_loop (with a data dependence between iterations so XLA cannot
+collapse them) returning a scalar; per-step time = (t(K1) - t(K0)) / (K1-K0),
+which cancels both dispatch and the scalar-fetch round trip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
+
+
+def measure_tpu_fps(batch=2, t=16, k_small=1, k_large=9):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+
+    (cfg, high, low, hparams, lparams, obs, masks, prev, hh, lh) = g._hcm_setup(
+        rgb_hw=224, depth_hw=256, instr_len=200, batch=batch, t=t,
+        compute_dtype=jnp.bfloat16,
+    )
+
+    def one_forward(obs, hh, lh):
+        logits, hh = high.apply(hparams, obs, hh, prev, masks)
+        pred = jnp.argmax(logits, axis=-1)
+        actions, stop, lh = low.apply(lparams, obs, lh, prev, masks, pred)
+        return actions, hh, lh
+
+    def looped(k):
+        def fn(obs, hh, lh):
+            def body(i, carry):
+                acc, hh, lh = carry
+                # data dependence: perturb the input by the last output's mean
+                obs_i = dict(obs)
+                obs_i["rgb"] = obs["rgb"] + acc * 1e-12
+                actions, hh, lh = one_forward(obs_i, hh, lh)
+                return (jnp.mean(actions), hh, lh)
+
+            acc, hh, lh = jax.lax.fori_loop(0, k, body, (jnp.float32(0), hh, lh))
+            return acc
+
+        return jax.jit(fn)
+
+    f_small = looped(k_small)
+    f_large = looped(k_large)
+    float(f_small(obs, hh, lh))  # compile
+    float(f_large(obs, hh, lh))
+
+    def timed(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(obs, hh, lh))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_small = timed(f_small)
+    t_large = timed(f_large)
+    per_step = (t_large - t_small) / (k_large - k_small)
+    frames = batch * t
+    return frames / per_step, per_step
+
+
+def get_torch_baseline_fps():
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["torch_cpu_fps"]
+    sys.path.insert(0, REPO)
+    from benchmarks.torch_hcm import measure_torch_cpu_fps
+
+    fps = measure_torch_cpu_fps()
+    with open(CACHE, "w") as f:
+        json.dump({"torch_cpu_fps": fps, "ts": time.time()}, f)
+    return fps
+
+
+def main():
+    baseline_fps = get_torch_baseline_fps()
+    tpu_fps, step_time = measure_tpu_fps()
+    result = {
+        "metric": "HCM teacher-forced policy forward throughput",
+        "value": round(float(tpu_fps), 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(float(tpu_fps / baseline_fps), 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,9 +102,12 @@ class TrajectoryDataset:
                 len(prev_actions), -1
             )[0]
         else:
-            instruction = np.asarray(out["glove_tokens"]).reshape(
-                len(prev_actions), -1
-            )[0]
+            # buffers collected with is_bert=True carry BOTH id types
+            # (robovln_data_train.yaml sets is_bert: True; transform_obs keeps
+            # the GloVe ids as glove_tokens) — fall back to `instruction` for
+            # buffers collected GloVe-only
+            key = "glove_tokens" if "glove_tokens" in out else "instruction"
+            instruction = np.asarray(out[key]).reshape(len(prev_actions), -1)[0]
             out.pop("glove_tokens", None)
         out["instruction"] = instruction  # (L,) single row per episode
         return out, prev_actions, oracle_actions, oracle_stop

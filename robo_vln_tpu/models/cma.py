@@ -49,6 +49,7 @@ def _attn_tokens(q, kv_k, kv_v, scale, mask=None):
 class CMAPolicy(nn.Module):
     model_config: Any
     num_actions: int = 2
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         mc = self.model_config
@@ -64,10 +65,12 @@ class CMAPolicy(nn.Module):
             embedding_file=ic.embedding_file,
         )
         self.depth_encoder = DepthEncoder(
-            output_size=mc.DEPTH_ENCODER.output_size, spatial_output=True
+            output_size=mc.DEPTH_ENCODER.output_size, spatial_output=True,
+            compute_dtype=self.compute_dtype,
         )
         self.rgb_encoder = RGBEncoder(
-            output_size=mc.RGB_ENCODER.output_size, spatial_output=True
+            output_size=mc.RGB_ENCODER.output_size, spatial_output=True,
+            compute_dtype=self.compute_dtype,
         )
         H = mc.STATE_ENCODER.hidden_size
         self._H = H

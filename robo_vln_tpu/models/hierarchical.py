@@ -39,6 +39,7 @@ from robo_vln_tpu.models.transformer import VisualLingAttn
 class HighLevelPolicy(nn.Module):
     model_config: Any
     num_actions: int = 4
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         mc = self.model_config
@@ -50,12 +51,15 @@ class HighLevelPolicy(nn.Module):
             num_heads=bc.num_heads,
             intermediate_size=bc.intermediate_size,
             max_position_embeddings=bc.max_position_embeddings,
+            compute_dtype=self.compute_dtype,
         )
         self.depth_encoder = DepthEncoder(
-            output_size=mc.DEPTH_ENCODER.output_size, spatial_output=True
+            output_size=mc.DEPTH_ENCODER.output_size, spatial_output=True,
+            compute_dtype=self.compute_dtype,
         )
         self.rgb_encoder = RGBEncoder(
-            output_size=mc.RGB_ENCODER.output_size, spatial_output=True
+            output_size=mc.RGB_ENCODER.output_size, spatial_output=True,
+            compute_dtype=self.compute_dtype,
         )
         va = mc.VISUAL_LING_ATTN
         self.rgb_kv = nn.Dense(va.vis_in_features, name="rgb_kv")
@@ -68,6 +72,7 @@ class HighLevelPolicy(nn.Module):
             vis_in_features=va.vis_in_features,
             ins_in_features=va.ins_in_features,
             dropout=va.dropout,
+            compute_dtype=self.compute_dtype,
         )
         self.rgb_linear = nn.Dense(mc.RGB_ENCODER.output_size, name="rgb_linear")
         self.depth_linear = nn.Dense(mc.DEPTH_ENCODER.output_size, name="depth_linear")
@@ -160,11 +165,18 @@ class LowLevelPolicy(nn.Module):
     model_config: Any
     num_actions: int = 2
     num_sub_tasks: int = 4
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         mc = self.model_config
-        self.depth_encoder = DepthEncoder(output_size=mc.DEPTH_ENCODER.output_size)
-        self.rgb_encoder = RGBEncoder(output_size=mc.RGB_ENCODER.output_size)
+        self.depth_encoder = DepthEncoder(
+            output_size=mc.DEPTH_ENCODER.output_size,
+            compute_dtype=self.compute_dtype,
+        )
+        self.rgb_encoder = RGBEncoder(
+            output_size=mc.RGB_ENCODER.output_size,
+            compute_dtype=self.compute_dtype,
+        )
         self.sub_task_embedding = nn.Embed(
             self.num_sub_tasks + 1, 32, name="sub_task_embedding"
         )

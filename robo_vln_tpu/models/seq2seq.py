@@ -39,6 +39,7 @@ class Seq2SeqPolicy(nn.Module):
     model_config: Any  # MODEL config tree
     num_actions: int = 2
     num_sub_tasks: int = 4
+    compute_dtype: Any = jnp.float32  # bf16 on TPU (TPU.PRECISION)
 
     def setup(self):
         mc = self.model_config
@@ -54,13 +55,25 @@ class Seq2SeqPolicy(nn.Module):
             embedding_file=ic.embedding_file,
         )
         if mc.DEPTH_ENCODER.cnn_type == "SimpleDepthCNN":
-            self.depth_encoder = SimpleCNN(mc.DEPTH_ENCODER.output_size, "depth")
+            self.depth_encoder = SimpleCNN(
+                mc.DEPTH_ENCODER.output_size, "depth",
+                compute_dtype=self.compute_dtype,
+            )
         else:
-            self.depth_encoder = DepthEncoder(output_size=mc.DEPTH_ENCODER.output_size)
+            self.depth_encoder = DepthEncoder(
+                output_size=mc.DEPTH_ENCODER.output_size,
+                compute_dtype=self.compute_dtype,
+            )
         if mc.RGB_ENCODER.cnn_type == "SimpleRGBCNN":
-            self.rgb_encoder = SimpleCNN(mc.RGB_ENCODER.output_size, "rgb")
+            self.rgb_encoder = SimpleCNN(
+                mc.RGB_ENCODER.output_size, "rgb",
+                compute_dtype=self.compute_dtype,
+            )
         else:
-            self.rgb_encoder = RGBEncoder(output_size=mc.RGB_ENCODER.output_size)
+            self.rgb_encoder = RGBEncoder(
+                output_size=mc.RGB_ENCODER.output_size,
+                compute_dtype=self.compute_dtype,
+            )
         self.state_encoder = RNNStateEncoder(
             hidden_size=mc.STATE_ENCODER.hidden_size,
             rnn_type=mc.STATE_ENCODER.rnn_type,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from robo_vln_tpu.data.loader import split_tbptt
-from robo_vln_tpu.models import build_hierarchical_policies
+from robo_vln_tpu.models import build_hierarchical_policies, resolve_dtype
 from robo_vln_tpu.parallel import mesh as mesh_lib
 from robo_vln_tpu.training import checkpoint as ckpt_lib
 from robo_vln_tpu.training import optimizers as opt_lib
@@ -54,7 +54,9 @@ class HierarchicalTrainer(BaseTrainer):
 
     def _setup_policy(self, load_from_ckpt: bool = False, ckpt_path: str = ""):
         cfg = self.config
-        self.high, self.low = build_hierarchical_policies(cfg.MODEL)
+        self.high, self.low = build_hierarchical_policies(
+            cfg.MODEL, compute_dtype=resolve_dtype(cfg.TPU.PRECISION)
+        )
         B = cfg.DAGGER.BATCH_SIZE
         batch = _dummy_batch(cfg, B)
         obs = {k: batch[k] for k in ("rgb", "depth", "instruction", "progress")}

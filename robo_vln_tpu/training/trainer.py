@@ -33,7 +33,7 @@ from robo_vln_tpu.data.loader import (
     batch_iterator,
     split_tbptt,
 )
-from robo_vln_tpu.models import build_flat_policy
+from robo_vln_tpu.models import build_flat_policy, resolve_dtype
 from robo_vln_tpu.parallel import mesh as mesh_lib
 from robo_vln_tpu.training import checkpoint as ckpt_lib
 from robo_vln_tpu.training import optimizers as opt_lib
@@ -102,7 +102,9 @@ class RoboVLNTrainer(BaseTrainer):
     # -- setup ---------------------------------------------------------------
     def _setup_policy(self, load_from_ckpt: bool = False, ckpt_path: str = ""):
         cfg = self.config
-        self.policy = build_flat_policy(cfg.MODEL)
+        self.policy = build_flat_policy(
+            cfg.MODEL, compute_dtype=resolve_dtype(cfg.TPU.PRECISION)
+        )
         batch = _dummy_batch(cfg, cfg.DAGGER.BATCH_SIZE)
         hidden = self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE)
         obs = {
