@@ -81,8 +81,12 @@ class RNNStateEncoder(nn.Module):
             masks = masks[None]
 
         if self.rnn_type == "LSTM":
+            from robo_vln_tpu.ops.pallas_lstm import lstm_sequence_fused
+
             h0, c0 = hidden[0], hidden[1]
-            outs, (hT, cT) = rnn_ops.lstm_sequence(
+            # fused pallas recurrent core on TPU (W_hh resident in VMEM for
+            # all T steps); transparently falls back to the lax.scan core
+            outs, (hT, cT) = lstm_sequence_fused(
                 x, h0, c0, masks, w_ih, w_hh, b_ih + b_hh
             )
             new_hidden = jnp.stack([hT, cT], axis=0)

@@ -44,16 +44,29 @@ class Seq2SeqPolicy(nn.Module):
     def setup(self):
         mc = self.model_config
         ic = mc.INSTRUCTION_ENCODER
-        self.instruction_encoder = InstructionEncoder(
-            vocab_size=ic.vocab_size,
-            embedding_size=ic.embedding_size,
-            hidden_size=ic.hidden_size,
-            rnn_type=ic.rnn_type,
-            final_state_only=True,
-            bidirectional=ic.bidirectional,
-            use_pretrained_embeddings=ic.use_pretrained_embeddings,
-            embedding_file=ic.embedding_file,
-        )
+        if ic.is_bert:
+            # BERT-embedding LanguageEncoder path (seq2seq.py:45-46)
+            from robo_vln_tpu.models.encoders.language import LanguageEncoder
+
+            self.instruction_encoder = LanguageEncoder(
+                bert_config=mc.BERT,
+                hidden_size=ic.hidden_size,
+                rnn_type=ic.rnn_type,
+                final_state_only=True,
+                bidirectional=ic.bidirectional,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            self.instruction_encoder = InstructionEncoder(
+                vocab_size=ic.vocab_size,
+                embedding_size=ic.embedding_size,
+                hidden_size=ic.hidden_size,
+                rnn_type=ic.rnn_type,
+                final_state_only=True,
+                bidirectional=ic.bidirectional,
+                use_pretrained_embeddings=ic.use_pretrained_embeddings,
+                embedding_file=ic.embedding_file,
+            )
         if mc.DEPTH_ENCODER.cnn_type == "SimpleDepthCNN":
             self.depth_encoder = SimpleCNN(
                 mc.DEPTH_ENCODER.output_size, "depth",
