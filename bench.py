@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 
 
-def measure_tpu_fps(batch=2, t=16, k_small=1, k_large=9):
+def measure_tpu_fps(batch=2, t=16, k=8):
     import jax
     import jax.numpy as jnp
 
@@ -41,43 +41,39 @@ def measure_tpu_fps(batch=2, t=16, k_small=1, k_large=9):
         compute_dtype=jnp.bfloat16,
     )
 
-    def one_forward(obs, hh, lh):
-        logits, hh = high.apply(hparams, obs, hh, prev, masks)
-        pred = jnp.argmax(logits, axis=-1)
-        actions, stop, lh = low.apply(lparams, obs, lh, prev, masks, pred)
-        return actions, hh, lh
+    @jax.jit
+    def f_k(obs, hh, lh):
+        def body(i, carry):
+            acc, hh, lh = carry
+            obs_i = dict(obs)
+            # data dependence between iterations so XLA can't collapse them
+            obs_i["rgb"] = obs["rgb"] + acc * 1e-12
+            logits, hh = high.apply(hparams, obs_i, hh, prev, masks)
+            pred = jnp.argmax(logits, axis=-1)
+            actions, stop, lh = low.apply(lparams, obs_i, lh, prev, masks, pred)
+            return (jnp.mean(actions.astype(jnp.float32)), hh, lh)
 
-    def looped(k):
-        def fn(obs, hh, lh):
-            def body(i, carry):
-                acc, hh, lh = carry
-                # data dependence: perturb the input by the last output's mean
-                obs_i = dict(obs)
-                obs_i["rgb"] = obs["rgb"] + acc * 1e-12
-                actions, hh, lh = one_forward(obs_i, hh, lh)
-                return (jnp.mean(actions), hh, lh)
+        acc, hh, lh = jax.lax.fori_loop(0, k, body, (jnp.float32(0), hh, lh))
+        return acc
 
-            acc, hh, lh = jax.lax.fori_loop(0, k, body, (jnp.float32(0), hh, lh))
-            return acc
+    @jax.jit
+    def f_0(obs):
+        return jnp.mean(obs["progress"])  # dispatch + scalar-fetch overhead
 
-        return jax.jit(fn)
+    float(f_k(obs, hh, lh))  # compile + warmup
+    float(f_0(obs))
 
-    f_small = looped(k_small)
-    f_large = looped(k_large)
-    float(f_small(obs, hh, lh))  # compile
-    float(f_large(obs, hh, lh))
-
-    def timed(f, reps=3):
+    def timed(fn, reps=3):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(obs, hh, lh))
+            float(fn())
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_small = timed(f_small)
-    t_large = timed(f_large)
-    per_step = (t_large - t_small) / (k_large - k_small)
+    t_k = timed(lambda: f_k(obs, hh, lh))
+    t_0 = timed(lambda: f_0(obs))
+    per_step = max(t_k - t_0, 1e-9) / k
     frames = batch * t
     return frames / per_step, per_step
 

@@ -28,6 +28,7 @@ _C.CHECKPOINT_FOLDER = "data/checkpoints"
 _C.LOG_FILE = "train.log"
 _C.EVAL_CKPT_PATH_DIR = "data/checkpoints"
 _C.PLOT_ATTENTION = False
+_C.BERT_VOCAB_FILE = ""  # wordpiece vocab for the is_bert instruction path
 
 # ---------------------------------------------------------------------------
 # TPU / parallelism (replaces the reference DDP stanza, config/default.py:32-38;

