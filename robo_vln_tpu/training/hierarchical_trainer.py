@@ -71,6 +71,10 @@ class HierarchicalTrainer(BaseTrainer):
             batch["prev_actions"], batch["not_done_masks"],
             np.zeros((B, 2), np.int32),
         )
+        from robo_vln_tpu.utils.pretrained import graft_pretrained
+
+        hvars = graft_pretrained(hvars, cfg.MODEL)
+        lvars = graft_pretrained(lvars, cfg.MODEL)
         hp, lp = hvars["params"], lvars["params"]
         self._high_extra = {k: v for k, v in hvars.items() if k != "params"}
         self._low_extra = {k: v for k, v in lvars.items() if k != "params"}

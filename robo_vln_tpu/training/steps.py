@@ -79,12 +79,22 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
             return a + s + x, (a, s, x, new_hidden)
 
         grads, (a, s, x, new_hidden) = jax.grad(loss_fn, has_aux=True)(state.params)
+        # failure guard: skip the update on a non-finite loss (the reference's
+        # ad-hoc try/except retry, robo_vln_trainer.py:658-694, done inline)
+        finite = jnp.isfinite(a + s + x)
         updates, opt_state = opt_lib.apply_updates(
             tx, grads, state.opt_state, state.params, lr
         )
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        params = jax.tree.map(
+            lambda p, u: p + jnp.where(finite, u, 0.0), state.params, updates
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "shape") else new,
+            opt_state, state.opt_state,
+        )
         metrics = {"action_loss": a, "stop_loss": s, "aux_loss": x,
-                   "total_loss": a + s + x}
+                   "total_loss": a + s + x, "skipped_nonfinite": 1.0 - finite}
         return TrainState(params, opt_state, state.step + 1), new_hidden, metrics
 
     donate_args = (0, 1) if donate else ()

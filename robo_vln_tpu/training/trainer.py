@@ -115,6 +115,11 @@ class RoboVLNTrainer(BaseTrainer):
         variables = self.policy.init(
             rng, obs, hidden, batch["prev_actions"], batch["not_done_masks"]
         )
+        from robo_vln_tpu.utils.pretrained import graft_pretrained
+
+        variables = graft_pretrained(
+            jax.tree.map(lambda x: x, variables), cfg.MODEL
+        )
         params = variables["params"]
         n_params = sum(x.size for x in jax.tree.leaves(params))
         logger.info(f"agent number of parameters: {n_params}")
