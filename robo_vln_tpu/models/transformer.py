@@ -194,3 +194,153 @@ class BaseEncoder(nn.Module):
                 name=f"layers_{i}",
             )(out, out, out, attention_mask, deterministic)
         return out
+
+
+class TransformerLanguageEncoder(nn.Module):
+    """Linear->ReLU->LN input stage + sinusoid PE (masked at pads) + N
+    self-attention layers (reference transformer.py:159-182)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    n_layers: int
+    d_in: int
+    dropout: float = 0.2
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None, attention_mask=None, deterministic=True):
+        out = nn.relu(nn.Dense(self.d_model, name="fc", dtype=self.compute_dtype)(x))
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            out.astype(jnp.float32)
+        )
+        pe = sinusoid_encoding_table(out.shape[1], out.shape[2])[None]
+        if pad_mask is not None:  # (B, L, 1) bool, True = pad
+            pe = jnp.where(pad_mask, 0.0, pe)
+        out = out + pe
+        return BaseEncoder(
+            self.d_model, self.h, self.d_ff, self.n_layers, self.dropout,
+            self.compute_dtype, name="encoder",
+        )(out, attention_mask, deterministic)
+
+
+class DecoderLayer(nn.Module):
+    """Self-attention + cross-attention + FFN with optional positional embeds
+    and adaptive pooling (reference transformer.py:184-207)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    dropout: float = 0.1
+    pool_to: int = 0  # reference `pooler`: AdaptiveAvgPool1d(100)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, enc_output, mask_self_att=None, mask_enc_att=None,
+                 pos_embed=None, deterministic=True):
+        if pos_embed is not None:
+            x = x + pos_embed
+        self_att = MultiHeadAttention(
+            self.d_model, self.h, self.dropout, self.compute_dtype,
+            name="self_att",
+        )(x, x, x, mask_self_att, deterministic)
+        if pos_embed is not None:
+            self_att = self_att + pos_embed
+        if self.pool_to:
+            # AdaptiveAvgPool1d over the token axis
+            from robo_vln_tpu.models.encoders.resnet import adaptive_avg_pool2d
+
+            pooled = adaptive_avg_pool2d(self_att[:, :, None, :], (self.pool_to, 1))
+            self_att = pooled[:, :, 0, :]
+        enc_att = MultiHeadAttention(
+            self.d_model, self.h, self.dropout, self.compute_dtype,
+            name="enc_att",
+        )(self_att, enc_output, enc_output, mask_enc_att, deterministic)
+        return PositionWiseFeedForward(
+            self.d_model, self.d_ff, self.dropout, self.compute_dtype,
+            name="pwff",
+        )(enc_att, deterministic)
+
+
+class InterModuleAttnDecoder(nn.Module):
+    """Shared Linear->ReLU->LN input projection on both streams + N
+    cross-attention layers (reference transformer.py:224-248)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    n_layers: int
+    in_features: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_1, input_2, self_att_mask=None, enc_att_mask=None,
+                 deterministic=True):
+        fc = nn.Dense(self.d_model, name="fc", dtype=self.compute_dtype)
+        drop = nn.Dropout(self.dropout)
+        ln = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")
+        out = ln(drop(nn.relu(fc(input_1)), deterministic=deterministic)
+                 .astype(jnp.float32))
+        inp2 = ln(drop(nn.relu(fc(input_2)), deterministic=deterministic)
+                  .astype(jnp.float32))
+        for i in range(self.n_layers):
+            out = InterModuleAttnLayer(
+                self.d_model, self.h, self.d_ff, self.dropout,
+                self.compute_dtype, name=f"layers_{i}",
+            )(out, inp2, enc_att_mask, deterministic)
+        return out
+
+
+class ImageCrossModalEncoder(nn.Module):
+    """Linear->ReLU->LN input stage + N DecoderLayers over encoder output
+    (reference transformer.py:283-303)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    n_layers: int
+    in_features: int
+    dropout: float = 0.2
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, enc_output, self_att_mask=None, enc_att_mask=None,
+                 deterministic=True):
+        out = nn.relu(nn.Dense(self.d_model, name="fc", dtype=self.compute_dtype)(x))
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            out.astype(jnp.float32)
+        )
+        for i in range(self.n_layers):
+            out = DecoderLayer(
+                self.d_model, self.h, self.d_ff, self.dropout,
+                compute_dtype=self.compute_dtype, name=f"layers_{i}",
+            )(out, enc_output, self_att_mask, enc_att_mask,
+              deterministic=deterministic)
+        return out
+
+
+class PositionEmbedding2DLearned(nn.Module):
+    """Learned 2D absolute positional embedding over an HxW feature map
+    (reference transformer.py:344-370). Returns (B, H, W, 2*num_pos_feats)."""
+
+    num_pos_feats: int = 128
+    max_size: int = 50
+
+    @nn.compact
+    def __call__(self, feature_map_hw, batch: int):
+        h, w = feature_map_hw
+        row = self.param(
+            "row_embed", nn.initializers.uniform(1.0),
+            (self.max_size, self.num_pos_feats),
+        )
+        col = self.param(
+            "col_embed", nn.initializers.uniform(1.0),
+            (self.max_size, self.num_pos_feats),
+        )
+        x_emb = jnp.broadcast_to(col[None, :w], (h, w, self.num_pos_feats))
+        y_emb = jnp.broadcast_to(row[:h, None], (h, w, self.num_pos_feats))
+        pos = jnp.concatenate([x_emb, y_emb], axis=-1)
+        return jnp.broadcast_to(pos[None], (batch, h, w, 2 * self.num_pos_feats))
