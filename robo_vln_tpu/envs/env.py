@@ -348,20 +348,99 @@ class ReplayEnv(_BaseEnv):
 
 
 class HabitatEnv(_BaseEnv):
-    """Adapter over the habitat fork when installed (the reference's actual
-    simulator; env_utils.py:25-114)."""
+    """Adapter over the habitat velocity-control forks when installed (the
+    reference's actual simulator; environments.py:8-45, env_utils.py:25-114).
+
+    Exposes the same protocol as the other backends; actions are our
+    VelocityControl dataclasses, converted to habitat_sim VelocityControl at
+    the boundary.  Rewards are zero and done is the
+    (episode_over, geodesic < SUCCESS_DISTANCE) pair like VLNCEDaggerEnv.
+    Requires the habitat-sim/habitat-lab velocity-control forks (reference
+    README.md:63-76) — not present in this image, so this path is exercised
+    only where those are installed.
+    """
 
     def __init__(self, config):
         super().__init__(config)
         try:
-            import habitat  # noqa: F401
+            import habitat
+            import habitat_sim
         except ImportError as e:
             raise ImportError(
                 "habitat-lab/habitat-sim are not installed in this image; use "
                 "SIMULATOR.TYPE 'kinematic' or 'replay', or install the "
                 "velocity-control forks (reference README.md:63-76)."
             ) from e
-        raise NotImplementedError(
-            "habitat backend scaffolding: wire VLNCEDaggerEnv here when the "
-            "forks are available"
+        self._habitat_sim = habitat_sim
+        # hand the raw dict config to habitat's config system
+        hab_cfg = habitat.get_config()
+        hab_cfg.defrost()
+        hab_cfg.merge_from_other_cfg(
+            habitat.Config(init_dict=config.TASK_CONFIG.to_dict())
         )
+        hab_cfg.freeze()
+        self._env = habitat.Env(config=hab_cfg)
+        self._setup_measures()
+
+    @property
+    def current_episode(self):
+        return self._env.current_episode
+
+    @current_episode.setter
+    def current_episode(self, _):
+        pass  # habitat owns episode iteration
+
+    def get_agent_position(self):
+        return np.asarray(self._env.sim.get_agent_state().position, np.float64)
+
+    def get_agent_state(self) -> RigidState:
+        st = self._env.sim.get_agent_state()
+        q = st.rotation  # quaternion.quaternion (w, x, y, z components)
+        return RigidState(
+            rotation=np.array([q.w, q.x, q.y, q.z], np.float64),
+            position=np.asarray(st.position, np.float64),
+        )
+
+    def geodesic_distance(self, a, b) -> float:
+        return float(self._env.sim.geodesic_distance(list(a), list(b)))
+
+    def reset(self):
+        obs = self._env.reset()
+        self._steps = 0
+        self._reset_measures()
+        return obs
+
+    def step(self, vel_control: VelocityControl):
+        hs = self._habitat_sim
+        vc = hs.physics.VelocityControl()
+        vc.controlling_lin_vel = True
+        vc.lin_vel_is_local = True
+        vc.controlling_ang_vel = True
+        vc.ang_vel_is_local = True
+        vc.linear_velocity = list(np.asarray(vel_control.linear_velocity))
+        vc.angular_velocity = list(np.asarray(vel_control.angular_velocity))
+        obs = self._env.step({"action": "VELOCITY_CONTROL", "action_args": {"vc": vc}}) \
+            if "VELOCITY_CONTROL" in getattr(self._env.task, "actions", {}) \
+            else self._step_kinematic(vc)
+        self._steps += 1
+        self._update_measures()
+        done = (self._env.episode_over or self._steps >= self._max_steps,
+                self.get_done()[1])
+        return obs, 0.0, done, {**self._env.get_metrics(), **self.get_metrics()}
+
+    def _step_kinematic(self, vc):
+        """Fork-style stepping: integrate the agent state directly and
+        re-render (the reference forks step the sim with VelocityControl)."""
+        sim = self._env.sim
+        st = sim.get_agent_state()
+        rigid = self._habitat_sim.RigidState(st.rotation, st.position)
+        new_state = vc.integrate_transform(
+            self.config.DAGGER.time_step, rigid
+        )
+        sim.set_agent_state(
+            list(new_state.translation), new_state.rotation
+        )
+        return sim.get_sensor_observations()
+
+    def close(self):
+        self._env.close()

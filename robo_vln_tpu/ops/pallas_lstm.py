@@ -134,10 +134,14 @@ def _scan_impl(gates_x, masks, h0, c0, w_hh):
 
 
 def _fwd(gates_x, masks, h0, c0, w_hh):
+    import os
+
     T, B, four_h = gates_x.shape
     H = four_h // 4
     use_pallas = (
-        jax.default_backend() == "tpu" and pallas_ok(T, B, H)
+        jax.default_backend() == "tpu"
+        and pallas_ok(T, B, H)
+        and not os.environ.get("ROBO_VLN_DISABLE_PALLAS")
     )
     if use_pallas:
         b_pad = (-B) % _SUBLANE

@@ -62,11 +62,11 @@ class HierarchicalTrainer(BaseTrainer):
         obs = {k: batch[k] for k in ("rgb", "depth", "instruction", "progress")}
         rng = jax.random.PRNGKey(cfg.TASK_CONFIG.SEED)
 
-        hvars = self.high.init(
+        hvars = jax.jit(self.high.init)(
             rng, obs, self.high.initial_hidden(B), batch["prev_actions"],
             batch["not_done_masks"],
         )
-        lvars = self.low.init(
+        lvars = jax.jit(self.low.init)(
             jax.random.fold_in(rng, 1), obs, self.low.initial_hidden(B),
             batch["prev_actions"], batch["not_done_masks"],
             np.zeros((B, 2), np.int32),

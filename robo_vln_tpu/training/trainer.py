@@ -112,7 +112,7 @@ class RoboVLNTrainer(BaseTrainer):
             for k in ("rgb", "depth", "instruction", "progress")
         }
         rng = jax.random.PRNGKey(cfg.TASK_CONFIG.SEED)
-        variables = self.policy.init(
+        variables = jax.jit(self.policy.init)(
             rng, obs, hidden, batch["prev_actions"], batch["not_done_masks"]
         )
         from robo_vln_tpu.utils.pretrained import graft_pretrained
