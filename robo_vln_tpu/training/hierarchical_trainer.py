@@ -112,6 +112,9 @@ class HierarchicalTrainer(BaseTrainer):
         cfg = self.config
         lr_low = cfg.DAGGER.LR
         scheduler_step = getattr(self, "_scheduler_step", 0)
+        from robo_vln_tpu.envs.async_env import DoubleBufferedLoader
+
+        batches = DoubleBufferedLoader(batches, lambda b: b)
         for batch in batches:
             B = cfg.DAGGER.BATCH_SIZE
             hh = jax.device_put(

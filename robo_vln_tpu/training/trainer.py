@@ -184,6 +184,10 @@ class RoboVLNTrainer(BaseTrainer):
     def train_epoch(self, batches, epoch: int, writer, train_steps: int) -> int:
         cfg = self.config
         lr = cfg.DAGGER.LR
+        from robo_vln_tpu.envs.async_env import DoubleBufferedLoader
+
+        # host decode/collate overlapped with device compute
+        batches = DoubleBufferedLoader(batches, lambda b: b)
         for batch in batches:
             hidden = jax.device_put(
                 self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE),
