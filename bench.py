@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 
 
-def measure_tpu_fps(batch=2, t=16, k=8):
+def measure_tpu_fps(batch=2, t_small=8, t_large=72, reps=5):
     import jax
     import jax.numpy as jnp
 
@@ -38,49 +38,47 @@ def measure_tpu_fps(batch=2, t=16, k=8):
 
     # fp32 by default: XLA lowers fp32 convs to bf16x3 MXU passes (~75 TFLOP/s
     # effective measured on this chip), while full-bf16 compilation is
-    # pathologically slow on the current axon/libtpu combo (>10 min, observed
-    # repeatedly). Opt in with BENCH_BF16=1 once the toolchain moves.
+    # pathologically slow on the current axon/libtpu combo. BENCH_BF16 opts in.
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") else jnp.float32
     (cfg, high, low, hparams, lparams, obs, masks, prev, hh, lh) = g._hcm_setup(
-        rgb_hw=224, depth_hw=256, instr_len=200, batch=batch, t=t,
+        rgb_hw=224, depth_hw=256, instr_len=200, batch=batch, t=t_large,
         compute_dtype=dtype,
     )
 
+    # Difference method: time the SAME jitted forward at two window lengths
+    # and divide the time delta by the frame delta — cancels the constant
+    # per-call dispatch + scalar-fetch cost of the tunneled device.  (A
+    # chained fori_loop would amortize better but its compile unit exceeds
+    # the remote-compile service limits on this setup.)
     @jax.jit
-    def f_k(obs, hh, lh):
-        def body(i, carry):
-            acc, hh, lh = carry
-            obs_i = dict(obs)
-            # data dependence between iterations so XLA can't collapse them
-            obs_i["rgb"] = obs["rgb"] + acc * 1e-12
-            logits, hh = high.apply(hparams, obs_i, hh, prev, masks)
-            pred = jnp.argmax(logits, axis=-1)
-            actions, stop, lh = low.apply(lparams, obs_i, lh, prev, masks, pred)
-            return (jnp.mean(actions.astype(jnp.float32)), hh, lh)
+    def fwd(obs, masks, prev, hh, lh):
+        logits, hh = high.apply(hparams, obs, hh, prev, masks)
+        pred = jnp.argmax(logits, axis=-1)
+        actions, stop, lh = low.apply(lparams, obs, lh, prev, masks, pred)
+        return jnp.mean(actions.astype(jnp.float32))
 
-        acc, hh, lh = jax.lax.fori_loop(0, k, body, (jnp.float32(0), hh, lh))
-        return acc
+    def slice_t(x, t):
+        return x[:, :t] if x.ndim >= 2 and x.shape[1] == t_large else x
 
-    @jax.jit
-    def f_0(obs):
-        return jnp.mean(obs["progress"])  # dispatch + scalar-fetch overhead
+    args_large = (obs, masks, prev, hh, lh)
+    obs_small = {k: slice_t(v, t_small) for k, v in obs.items()}
+    args_small = (obs_small, masks[:, :t_small], prev[:, :t_small], hh, lh)
 
-    float(f_k(obs, hh, lh))  # compile + warmup
-    float(f_0(obs))
+    float(fwd(*args_small))  # compile both shapes
+    float(fwd(*args_large))
 
-    def timed(fn, reps=3):
+    def timed(args):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(fn())
+            float(fwd(*args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_k = timed(lambda: f_k(obs, hh, lh))
-    t_0 = timed(lambda: f_0(obs))
-    per_step = max(t_k - t_0, 1e-9) / k
-    frames = batch * t
-    return frames / per_step, per_step
+    t_s = timed(args_small)
+    t_l = timed(args_large)
+    per_frame = max(t_l - t_s, 1e-9) / (batch * (t_large - t_small))
+    return 1.0 / per_frame, per_frame
 
 
 def get_torch_baseline_fps():

@@ -131,6 +131,7 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
 
     stats_episodes = {}
     locations = []
+    rgb_frames = []
     steps = 0
     while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
         ep = env.habitat_env.current_episode
@@ -151,6 +152,16 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
         episode_success = success and (lin_vel < 0.25 or stop_pred == 1)
         steps += 1
 
+        if config.VIDEO_OPTION:
+            from robo_vln_tpu.tasks.viz import (
+                append_text_to_image, observations_to_image,
+            )
+
+            frame = observations_to_image(observations, info)
+            rgb_frames.append(
+                append_text_to_image(frame, ep.instruction.instruction_text)
+            )
+
         if episode_over or episode_success or (
             steps == config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
         ):
@@ -161,6 +172,16 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
             stats["ndtw"] = ndtw(locations, gt_locations, sd)
             stats["actual_success"] = 1.0 if episode_success else 0.0
             stats_episodes[ep.episode_id] = stats
+            if config.VIDEO_OPTION:
+                from robo_vln_tpu.tasks.viz import generate_video
+
+                generate_video(
+                    list(config.VIDEO_OPTION), config.VIDEO_DIR, rgb_frames,
+                    ep.episode_id, checkpoint_index,
+                    {"SPL": round(stats.get("spl") or 0.0, 6)}, writer,
+                    fps=int(1.0 / config.DAGGER.time_step),
+                )
+                rgb_frames = []
             locations = []
             steps = 0
             observations = env.reset()
@@ -212,6 +233,7 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
 
     stats_episodes = {}
     locations = []
+    rgb_frames = []
     steps = 0
     while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
         ep = env.habitat_env.current_episode
@@ -232,6 +254,16 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
         episode_success = success and (lin_vel < 0.25 or stop_pred == 1)
         steps += 1
 
+        if config.VIDEO_OPTION:
+            from robo_vln_tpu.tasks.viz import (
+                append_text_to_image, observations_to_image,
+            )
+
+            frame = observations_to_image(observations, info)
+            rgb_frames.append(
+                append_text_to_image(frame, ep.instruction.instruction_text)
+            )
+
         if episode_over or episode_success or (
             steps == config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
         ):
@@ -242,6 +274,16 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
             stats["ndtw"] = ndtw(locations, gt_locations, sd)
             stats["actual_success"] = 1.0 if episode_success else 0.0
             stats_episodes[ep.episode_id] = stats
+            if config.VIDEO_OPTION:
+                from robo_vln_tpu.tasks.viz import generate_video
+
+                generate_video(
+                    list(config.VIDEO_OPTION), config.VIDEO_DIR, rgb_frames,
+                    ep.episode_id, checkpoint_index,
+                    {"SPL": round(stats.get("spl") or 0.0, 6)}, writer,
+                    fps=int(1.0 / config.DAGGER.time_step),
+                )
+                rgb_frames = []
             locations = []
             steps = 0
             observations = env.reset()

@@ -85,3 +85,31 @@ def test_cyclic_lr_matches_torch():
         ours = cyclic_triangular_lr(step)
         ref = sched.get_last_lr()[0]
         np.testing.assert_allclose(ours, ref, rtol=1e-6), step
+
+
+def test_eval_writes_videos(tmp_path, rng):
+    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    data_path = make_episode_json(tmp_path, n_eps=2)
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 10
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 1
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.VIDEO_OPTION = ["disk"]
+    cfg.VIDEO_DIR = str(tmp_path / "videos")
+    cfg.freeze()
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+    from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint
+
+    trainer = RoboVLNTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        eval_flat_checkpoint(trainer, "", writer, 0)
+    import glob
+
+    vids = glob.glob(str(tmp_path / "videos" / "*.mp4"))
+    assert vids, "expected an .mp4 written by generate_video"
