@@ -13,10 +13,11 @@ vs_baseline = value / PyTorch-CPU frames/sec of the equivalent forward
 
 Measurement method: the single-chip TPU here sits behind a host tunnel where
 per-call dispatch costs ~30 ms and device->host transfers are slow, so naive
-per-call timing is meaningless.  The forward is iterated K times INSIDE one
-jitted lax.fori_loop (with a data dependence between iterations so XLA cannot
-collapse them) returning a scalar; per-step time = (t(K1) - t(K0)) / (K1-K0),
-which cancels both dispatch and the scalar-fetch round trip.
+per-call timing is meaningless.  The same compiled forward is timed at two
+window lengths (T=8 and T=40) fetching only a scalar; per-frame time =
+(t_large - t_small) / Δframes, which cancels the constant per-call cost.
+(A fori_loop-chained variant amortizes better but its compile unit exceeds
+the remote-compile service limits of this environment — docs/TPU_ENV_NOTES.md.)
 """
 
 import json
@@ -30,7 +31,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 
 
-def measure_tpu_fps(batch=2, t_small=8, t_large=72, reps=5):
+def measure_tpu_fps(batch=2, t_small=8, t_large=40, reps=5):
     import jax
     import jax.numpy as jnp
 

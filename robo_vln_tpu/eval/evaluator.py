@@ -79,8 +79,17 @@ def _aggregate_and_log(stats_episodes, config, writer, checkpoint_index):
     return aggregated
 
 
-def _eval_config(trainer):
+def _eval_config(trainer, checkpoint_path: str = ""):
     config = trainer.config.clone().defrost()
+    if config.EVAL.USE_CKPT_CONFIG and checkpoint_path:
+        # restore the training-time config stored with the checkpoint
+        # (reference EVAL.USE_CKPT_CONFIG, robo_vln_trainer.py:1008-1011)
+        meta = os.path.join(str(checkpoint_path), "framework_metadata.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                saved = json.load(f).get("config", {})
+            if "MODEL" in saved:
+                config.MODEL.merge_dict(saved["MODEL"])
     config.TASK_CONFIG.DATASET.SPLIT = config.EVAL.SPLIT
     config.TASK_CONFIG.TASK.NDTW.SPLIT = config.EVAL.SPLIT
     config.TASK_CONFIG.TASK.SDTW.SPLIT = config.EVAL.SPLIT
@@ -99,7 +108,7 @@ def _tokenizer_for(config):
 
 def eval_flat_checkpoint(trainer, checkpoint_path, writer,
                          checkpoint_index: int = 0) -> Dict[str, float]:
-    config = _eval_config(trainer)
+    config = _eval_config(trainer, checkpoint_path)
     is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
     tokenizer = _tokenizer_for(config)
     gt_json = _load_gt(config)
@@ -196,7 +205,7 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
 
 def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
                                  checkpoint_index: int = 0) -> Dict[str, float]:
-    config = _eval_config(trainer)
+    config = _eval_config(trainer, checkpoint_path)
     is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
     tokenizer = _tokenizer_for(config)
     gt_json = _load_gt(config)
