@@ -13,11 +13,12 @@ vs_baseline = value / PyTorch-CPU frames/sec of the equivalent forward
 
 Measurement method: the single-chip TPU here sits behind a host tunnel where
 per-call dispatch costs ~30 ms and device->host transfers are slow, so naive
-per-call timing is meaningless.  The same compiled forward is timed at two
-window lengths (T=8 and T=40) fetching only a scalar; per-frame time =
-(t_large - t_small) / Δframes, which cancels the constant per-call cost.
-(A fori_loop-chained variant amortizes better but its compile unit exceeds
-the remote-compile service limits of this environment — docs/TPU_ENV_NOTES.md.)
+per-call timing is meaningless; and the remote-compile service reliably serves
+about ONE model-sized compile per process.  So: params initialize on the host
+CPU, the single big compile is the measured forward (B x T frames, scalar
+output), and the per-call overhead measured with a trivial jitted function is
+subtracted.  per_frame = (t_fwd - t_trivial) / (B*T).  See
+docs/TPU_ENV_NOTES.md for the environment behavior behind this design.
 """
 
 import json
@@ -31,7 +32,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 
 
-def measure_tpu_fps(batch=2, t_small=8, t_large=40, reps=5):
+def measure_tpu_fps(batch=2, t=40, reps=5):
     import jax
     import jax.numpy as jnp
 
@@ -41,16 +42,14 @@ def measure_tpu_fps(batch=2, t_small=8, t_large=40, reps=5):
     # effective measured on this chip), while full-bf16 compilation is
     # pathologically slow on the current axon/libtpu combo. BENCH_BF16 opts in.
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") else jnp.float32
+
+    # _hcm_setup initializes params on the host CPU (see its docstring);
+    # arrays move to the accelerator lazily on first use.
     (cfg, high, low, hparams, lparams, obs, masks, prev, hh, lh) = g._hcm_setup(
-        rgb_hw=224, depth_hw=256, instr_len=200, batch=batch, t=t_large,
+        rgb_hw=224, depth_hw=256, instr_len=200, batch=batch, t=t,
         compute_dtype=dtype,
     )
 
-    # Difference method: time the SAME jitted forward at two window lengths
-    # and divide the time delta by the frame delta — cancels the constant
-    # per-call dispatch + scalar-fetch cost of the tunneled device.  (A
-    # chained fori_loop would amortize better but its compile unit exceeds
-    # the remote-compile service limits on this setup.)
     @jax.jit
     def fwd(obs, masks, prev, hh, lh):
         logits, hh = high.apply(hparams, obs, hh, prev, masks)
@@ -58,27 +57,25 @@ def measure_tpu_fps(batch=2, t_small=8, t_large=40, reps=5):
         actions, stop, lh = low.apply(lparams, obs, lh, prev, masks, pred)
         return jnp.mean(actions.astype(jnp.float32))
 
-    def slice_t(x, t):
-        return x[:, :t] if x.ndim >= 2 and x.shape[1] == t_large else x
+    @jax.jit
+    def trivial(masks):  # per-call dispatch + scalar-fetch overhead probe
+        return jnp.mean(masks)
 
-    args_large = (obs, masks, prev, hh, lh)
-    obs_small = {k: slice_t(v, t_small) for k, v in obs.items()}
-    args_small = (obs_small, masks[:, :t_small], prev[:, :t_small], hh, lh)
+    args = (obs, masks, prev, hh, lh)
+    float(fwd(*args))  # the ONE model-sized remote compile
+    float(trivial(masks))
 
-    float(fwd(*args_small))  # compile both shapes
-    float(fwd(*args_large))
-
-    def timed(args):
+    def timed(fn, xs):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(fwd(*args))
+            float(fn(*xs))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_s = timed(args_small)
-    t_l = timed(args_large)
-    per_frame = max(t_l - t_s, 1e-9) / (batch * (t_large - t_small))
+    t_fwd = timed(fwd, args)
+    t_0 = timed(trivial, (masks,))
+    per_frame = max(t_fwd - t_0, 1e-9) / (batch * t)
     return 1.0 / per_frame, per_frame
 
 

@@ -173,6 +173,7 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True):
             (state.high.params, state.low.params)
         )
         hl_loss, ll_action, ll_stop, new_hh, new_lh, acc = out
+        finite = jnp.isfinite(hl_loss + ll_action + ll_stop)
 
         hupd, hopt = opt_lib.apply_updates(
             tx_high, hgrads, state.high.opt_state, state.high.params, lr_high
@@ -180,14 +181,26 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True):
         lupd, lopt = opt_lib.apply_updates(
             tx_low, lgrads, state.low.opt_state, state.low.params, lr_low
         )
+
+        def guarded(new, old):
+            return jnp.where(finite, new, old) if hasattr(new, "shape") else new
+
         new_state = HierTrainState(
             TrainState(
-                jax.tree.map(lambda p, u: p + u, state.high.params, hupd),
-                hopt, state.high.step + 1,
+                jax.tree.map(
+                    lambda p, u: p + jnp.where(finite, u, 0.0),
+                    state.high.params, hupd,
+                ),
+                jax.tree.map(guarded, hopt, state.high.opt_state),
+                state.high.step + 1,
             ),
             TrainState(
-                jax.tree.map(lambda p, u: p + u, state.low.params, lupd),
-                lopt, state.low.step + 1,
+                jax.tree.map(
+                    lambda p, u: p + jnp.where(finite, u, 0.0),
+                    state.low.params, lupd,
+                ),
+                jax.tree.map(guarded, lopt, state.low.opt_state),
+                state.low.step + 1,
             ),
         )
         metrics = {
