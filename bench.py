@@ -32,7 +32,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 
 
-def measure_tpu_fps(batch=2, t=40, reps=5):
+def measure_tpu_fps(batch=2, t=16, reps=7):
     import jax
     import jax.numpy as jnp
 
@@ -92,8 +92,26 @@ def get_torch_baseline_fps():
     return fps
 
 
+def wait_for_device(max_wait=900):
+    """Block until the (possibly draining) remote service answers a trivial
+    op — compiling into a wedged service wastes the compile budget."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    while True:
+        try:
+            float(jnp.ones((8,), jnp.float32).sum())
+            return True
+        except Exception:
+            if time.time() - t0 > max_wait:
+                return False
+            time.sleep(30)
+
+
 def main():
     baseline_fps = get_torch_baseline_fps()
+    wait_for_device()
     # the tunneled remote-compile service occasionally drops long compiles
     # (docs/TPU_ENV_NOTES.md); retry once after a drain pause
     try:
