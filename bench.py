@@ -50,8 +50,11 @@ def measure_tpu_fps(batch=2, t=16, reps=7):
         compute_dtype=dtype,
     )
 
+    # params MUST be jit arguments: closed-over arrays are serialized as
+    # constants into the remote-compile request, which rejects model-sized
+    # bodies with HTTP 413 (docs/TPU_ENV_NOTES.md)
     @jax.jit
-    def fwd(obs, masks, prev, hh, lh):
+    def fwd(hparams, lparams, obs, masks, prev, hh, lh):
         logits, hh = high.apply(hparams, obs, hh, prev, masks)
         pred = jnp.argmax(logits, axis=-1)
         actions, stop, lh = low.apply(lparams, obs, lh, prev, masks, pred)
@@ -61,7 +64,7 @@ def measure_tpu_fps(batch=2, t=16, reps=7):
     def trivial(masks):  # per-call dispatch + scalar-fetch overhead probe
         return jnp.mean(masks)
 
-    args = (obs, masks, prev, hh, lh)
+    args = (hparams, lparams, obs, masks, prev, hh, lh)
     float(fwd(*args))  # the ONE model-sized remote compile
     float(trivial(masks))
 
