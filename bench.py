@@ -32,16 +32,15 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 
 
-def measure_tpu_fps(batch=2, t=16, reps=7):
+def measure_tpu_fps(batch=2, t=40, reps=7):
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as g
 
-    # fp32 by default: XLA lowers fp32 convs to bf16x3 MXU passes (~75 TFLOP/s
-    # effective measured on this chip), while full-bf16 compilation is
-    # pathologically slow on the current axon/libtpu combo. BENCH_BF16 opts in.
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") else jnp.float32
+    # bfloat16 MXU compute by default (BENCH_FP32=1 to compare); earlier
+    # "bf16 never compiles" observations were the params-closure bug, not bf16
+    dtype = jnp.float32 if os.environ.get("BENCH_FP32") else jnp.bfloat16
 
     # _hcm_setup initializes params on the host CPU (see its docstring);
     # arrays move to the accelerator lazily on first use.
