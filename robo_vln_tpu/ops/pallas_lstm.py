@@ -138,16 +138,13 @@ def _fwd(gates_x, masks, h0, c0, w_hh):
 
     T, B, four_h = gates_x.shape
     H = four_h // 4
-    # Opt-in (ROBO_VLN_ENABLE_PALLAS=1): standalone the kernel compiles in
-    # seconds and matches the scan bit-for-bit, but embedded in the full-model
-    # program the remote-compile service of the tunneled axon setup handles
-    # the Mosaic custom-call pathologically slowly; the scan core is within
-    # noise of the kernel at robo-vln scales (LSTM is ~1% of model FLOPs), so
-    # the safe default is the scan.
+    # Default ON for aligned shapes on TPU (measured >= the scan end-to-end;
+    # the earlier "pathological compile" was a params-closure artifact, see
+    # docs/TPU_ENV_NOTES.md). ROBO_VLN_DISABLE_PALLAS=1 forces the scan core.
     use_pallas = (
         jax.default_backend() == "tpu"
         and pallas_ok(T, B, H)
-        and bool(os.environ.get("ROBO_VLN_ENABLE_PALLAS"))
+        and not os.environ.get("ROBO_VLN_DISABLE_PALLAS")
     )
     if use_pallas:
         b_pad = (-B) % _SUBLANE
