@@ -32,7 +32,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 
 
-def measure_tpu_fps(batch=2, t=40, reps=7):
+def measure_tpu_fps(batch=4, t=50, reps=7):
     import jax
     import jax.numpy as jnp
 
