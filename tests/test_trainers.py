@@ -171,3 +171,45 @@ def test_trainer_registry():
 
     assert get_trainer("robo_vln_trainer").__name__ == "RoboVLNTrainer"
     assert get_trainer("hierarchical_trainer").__name__ == "HierarchicalTrainer"
+
+
+def test_nan_guard_skips_update(tmp_path, rng):
+    """A poisoned (NaN) batch must not change params or optimizer state."""
+    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.freeze()
+    from robo_vln_tpu.parallel import mesh as mesh_lib
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer, _dummy_batch
+
+    trainer = RoboVLNTrainer(cfg)
+    trainer._setup_policy()
+    p0 = jax.device_get(trainer.state.params)
+
+    batch = _dummy_batch(cfg, 2, t=4)
+    batch["corrected_actions"][:] = 1.0
+    batch["oracle_stop"][:] = 1.0
+    batch["rgb"][0, 0, 0, 0, 0] = np.nan  # poison
+    hidden = trainer.policy.initial_hidden(2)
+    batch = mesh_lib.shard_batch(trainer.mesh, batch)
+    state, hidden, metrics = trainer.train_step(
+        trainer.state, hidden, batch, cfg.DAGGER.LR
+    )
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    p1 = jax.device_get(state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p0, p1,
+    )
+
+    # a clean batch updates normally
+    clean = _dummy_batch(cfg, 2, t=4)
+    clean["corrected_actions"][:] = 1.0
+    clean["oracle_stop"][:] = 1.0
+    clean["rgb"][:] = 10.0
+    clean = mesh_lib.shard_batch(trainer.mesh, clean)
+    hidden = trainer.policy.initial_hidden(2)
+    state2, _, m2 = trainer.train_step(state, hidden, clean, cfg.DAGGER.LR)
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    p2 = jax.device_get(state2.params)
+    assert not np.allclose(p2["linear"]["kernel"], p1["linear"]["kernel"])
