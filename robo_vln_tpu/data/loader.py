@@ -140,9 +140,15 @@ def collate_batch(
     samples: List,
     buckets: Sequence[int],
     max_instruction_len: int = 200,
+    pad_to_batch: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    """Pad a list of decoded episodes into one static-shape time-major batch."""
-    B = len(samples)
+    """Pad a list of decoded episodes into one static-shape batch-major batch.
+
+    `pad_to_batch` pads the BATCH axis with empty episodes (valid_mask=0,
+    corrected_actions=0, oracle_stop=-1, oracle sub-goal 0) so tail batches
+    keep the compiled shape on a full device mesh; every loss masks them out
+    (ops/losses.py)."""
+    B = max(len(samples), pad_to_batch or 0)
     T = pick_bucket(max(len(s[1]) for s in samples), buckets)
     L = max_instruction_len
 
@@ -192,8 +198,11 @@ def batch_iterator(
     batch_size: int,
     buckets: Sequence[int],
     max_instruction_len: int = 200,
-    drop_last: bool = True,
+    drop_last: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield static-shape batches of exactly `batch_size` episodes; the tail
+    batch is padded with empty (fully masked) episodes rather than dropped, so
+    a full-mesh global batch never starves on small buffers."""
     buf = []
     for sample in dataset:
         buf.append(sample)
@@ -201,7 +210,9 @@ def batch_iterator(
             yield collate_batch(buf, buckets, max_instruction_len)
             buf = []
     if buf and not drop_last:
-        yield collate_batch(buf, buckets, max_instruction_len)
+        yield collate_batch(
+            buf, buckets, max_instruction_len, pad_to_batch=batch_size
+        )
 
 
 def split_tbptt(batch: Dict[str, np.ndarray], tbptt_steps: int):

@@ -41,6 +41,10 @@ class HierarchicalTrainer(BaseTrainer):
         self.mesh = mesh_lib.make_training_mesh(
             config.TPU.MESH_SHAPE, config.TPU.MESH_AXES, config.DAGGER.BATCH_SIZE
         )
+        # DAGGER.BATCH_SIZE is per-device; every chip holds a batch shard
+        self.global_batch = mesh_lib.global_batch_size(
+            config.DAGGER.BATCH_SIZE, self.mesh
+        )
         self.features_dir = config.DAGGER.LMDB_FEATURES_DIR.format(
             split=config.TASK_CONFIG.DATASET.SPLIT
         )
@@ -57,7 +61,7 @@ class HierarchicalTrainer(BaseTrainer):
         self.high, self.low = build_hierarchical_policies(
             cfg.MODEL, compute_dtype=resolve_dtype(cfg.TPU.PRECISION)
         )
-        B = cfg.DAGGER.BATCH_SIZE
+        B = self.global_batch
         batch = _dummy_batch(cfg, B)
         obs = {k: batch[k] for k in ("rgb", "depth", "instruction", "progress")}
         rng = jax.random.PRNGKey(cfg.TASK_CONFIG.SEED)
@@ -98,7 +102,7 @@ class HierarchicalTrainer(BaseTrainer):
         low_b = _bind(self.low, self._low_extra)
         self.train_step = steps_lib.make_hier_train_step(
             high_b, low_b, self.tx_high, self.tx_low, self.mesh,
-            donate=cfg.TPU.DONATE,
+            donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT,
         )
         self.val_step = steps_lib.make_hier_val_step(high_b, low_b)
 
@@ -116,7 +120,7 @@ class HierarchicalTrainer(BaseTrainer):
 
         batches = DoubleBufferedLoader(batches, lambda b: b)
         for batch in batches:
-            B = cfg.DAGGER.BATCH_SIZE
+            B = self.global_batch
             hh = jax.device_put(
                 self.high.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
             )
@@ -155,7 +159,7 @@ class HierarchicalTrainer(BaseTrainer):
         cfg = self.config
         high_losses, low_losses, accs = [], [], []
         for batch in batches:
-            B = cfg.DAGGER.BATCH_SIZE
+            B = self.global_batch
             hh = jax.device_put(
                 self.high.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
             )

@@ -38,7 +38,8 @@ class HierTrainState(NamedTuple):
     low: TrainState
 
 
-def _flat_losses(policy, params, batch, hidden, progress_alpha, use_progress):
+def _flat_losses(policy, params, batch, hidden, *, progress_alpha,
+                 use_progress):
     obs = {
         k: batch[k]
         for k in batch
@@ -68,14 +69,24 @@ def _flat_losses(policy, params, batch, hidden, progress_alpha, use_progress):
 
 
 def make_flat_train_step(policy, tx, mesh, use_progress=False,
-                         progress_alpha=1.0, donate=True):
-    """Returns jitted (state, hidden, batch, lr) -> (state, hidden, metrics)."""
+                         progress_alpha=1.0, donate=True, remat=False):
+    """Returns jitted (state, hidden, batch, lr) -> (state, hidden, metrics).
+
+    remat=True (TPU.REMAT): the whole forward is rematerialized in the
+    backward pass (jax.checkpoint) — activations of the 100-step TBPTT window
+    are not kept live, trading ~1/3 more FLOPs for the activation memory that
+    otherwise caps per-chip batch at 224x224 frames."""
+
+    losses_fn = functools.partial(
+        _flat_losses, policy,
+        progress_alpha=progress_alpha, use_progress=use_progress,
+    )
+    if remat:
+        losses_fn = jax.checkpoint(losses_fn)
 
     def step_fn(state: TrainState, hidden, batch, lr):
         def loss_fn(params):
-            a, s, x, new_hidden = _flat_losses(
-                policy, params, batch, hidden, progress_alpha, use_progress
-            )
+            a, s, x, new_hidden = losses_fn(params, batch, hidden)
             return a + s + x, (a, s, x, new_hidden)
 
         grads, (a, s, x, new_hidden) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -104,7 +115,8 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
 def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0):
     def step_fn(params, hidden, batch):
         a, s, x, new_hidden = _flat_losses(
-            policy, params, batch, hidden, progress_alpha, use_progress
+            policy, params, batch, hidden,
+            progress_alpha=progress_alpha, use_progress=use_progress,
         )
         return new_hidden, {"action_loss": a, "stop_loss": s, "aux_loss": x,
                             "total_loss": a + s + x}
@@ -153,8 +165,16 @@ def _hier_losses(high, low, high_params, low_params, batch,
             correct / total)
 
 
-def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True):
-    """One program, two optimizers (AdamW high / Adam low), two LRs."""
+def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
+                         remat=False):
+    """One program, two optimizers (AdamW high / Adam low), two LRs.
+
+    remat=True (TPU.REMAT): rematerialize the forward in the backward pass
+    (see make_flat_train_step)."""
+
+    losses_fn = functools.partial(_hier_losses, high, low)
+    if remat:
+        losses_fn = jax.checkpoint(losses_fn)
 
     def step_fn(state: HierTrainState, high_hidden, low_hidden, batch,
                 lr_high, lr_low):
@@ -164,9 +184,7 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True):
         # reference's two sequential backward passes while sharing the forward.
         def loss_fn(both):
             hp, lp = both
-            out = _hier_losses(
-                high, low, hp, lp, batch, high_hidden, low_hidden
-            )
+            out = losses_fn(hp, lp, batch, high_hidden, low_hidden)
             return out[0] + out[1] + out[2], out
 
         (hgrads, lgrads), out = jax.grad(loss_fn, has_aux=True)(

@@ -92,6 +92,10 @@ class RoboVLNTrainer(BaseTrainer):
         self.mesh = mesh_lib.make_training_mesh(
             config.TPU.MESH_SHAPE, config.TPU.MESH_AXES, config.DAGGER.BATCH_SIZE
         )
+        # DAGGER.BATCH_SIZE is per-device; every chip holds a batch shard
+        self.global_batch = mesh_lib.global_batch_size(
+            config.DAGGER.BATCH_SIZE, self.mesh
+        )
         self.features_dir = config.DAGGER.LMDB_FEATURES_DIR.format(
             split=config.TASK_CONFIG.DATASET.SPLIT
         )
@@ -105,8 +109,8 @@ class RoboVLNTrainer(BaseTrainer):
         self.policy = build_flat_policy(
             cfg.MODEL, compute_dtype=resolve_dtype(cfg.TPU.PRECISION)
         )
-        batch = _dummy_batch(cfg, cfg.DAGGER.BATCH_SIZE)
-        hidden = self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE)
+        batch = _dummy_batch(cfg, self.global_batch)
+        hidden = self.policy.initial_hidden(self.global_batch)
         obs = {
             k: batch[k]
             for k in ("rgb", "depth", "instruction", "progress")
@@ -139,7 +143,7 @@ class RoboVLNTrainer(BaseTrainer):
         self.train_step = steps_lib.make_flat_train_step(
             self._bound_policy(), self.tx, self.mesh,
             use_progress=use_pm, progress_alpha=cfg.MODEL.PROGRESS_MONITOR.alpha,
-            donate=cfg.TPU.DONATE,
+            donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT,
         )
         self.val_step = steps_lib.make_flat_val_step(
             self._bound_policy(), use_progress=use_pm,
@@ -168,7 +172,7 @@ class RoboVLNTrainer(BaseTrainer):
         cfg = self.config
         dataset = TrajectoryDataset(
             features_dir,
-            batch_size=cfg.DAGGER.BATCH_SIZE,
+            batch_size=self.global_batch,
             is_bert=cfg.MODEL.INSTRUCTION_ENCODER.is_bert,
             use_iw=cfg.DAGGER.USE_IW,
             inflection_weight_coef=cfg.MODEL.inflection_weight_coef,
@@ -176,7 +180,7 @@ class RoboVLNTrainer(BaseTrainer):
         )
         return batch_iterator(
             dataset,
-            cfg.DAGGER.BATCH_SIZE,
+            self.global_batch,
             list(cfg.DAGGER.EPISODE_LEN_BUCKETS),
             cfg.DAGGER.MAX_INSTRUCTION_LEN,
         )
@@ -190,7 +194,7 @@ class RoboVLNTrainer(BaseTrainer):
         batches = DoubleBufferedLoader(batches, lambda b: b)
         for batch in batches:
             hidden = jax.device_put(
-                self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE),
+                self.policy.initial_hidden(self.global_batch),
                 mesh_lib.hidden_sharding(self.mesh),
             )
             for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):
@@ -211,7 +215,7 @@ class RoboVLNTrainer(BaseTrainer):
         losses = []
         for batch in batches:
             hidden = jax.device_put(
-                self.policy.initial_hidden(cfg.DAGGER.BATCH_SIZE),
+                self.policy.initial_hidden(self.global_batch),
                 mesh_lib.hidden_sharding(self.mesh),
             )
             for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):

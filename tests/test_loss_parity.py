@@ -155,7 +155,10 @@ def test_flat_loss_parity(rng):
             return policy.apply(v, *a, **k)
 
     hidden = policy.initial_hidden(1)
-    a, s, x, _ = _flat_losses(_P(), params["params"], batch, hidden, 1.0, False)
+    a, s, x, _ = _flat_losses(
+        _P(), params["params"], batch, hidden,
+        progress_alpha=1.0, use_progress=False,
+    )
     np.testing.assert_allclose(float(a), action_loss_ref, rtol=2e-4)
     np.testing.assert_allclose(float(s), stop_loss_ref, rtol=2e-4)
     assert float(x) == 0.0

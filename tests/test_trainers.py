@@ -15,7 +15,8 @@ from robo_vln_tpu.data.loader import write_episode
 from robo_vln_tpu.data.trajectory_store import TrajectoryStore
 
 
-def tiny_config(tmp_path, trainer="robo_vln_trainer", batch_size=8):
+def tiny_config(tmp_path, trainer="robo_vln_trainer", batch_size=1):
+    """batch_size is PER-DEVICE (global = 8x on the virtual mesh)."""
     cfg = get_config().clone().defrost()
     cfg.TRAINER_NAME = trainer
     cfg.DAGGER.BATCH_SIZE = batch_size
@@ -115,7 +116,7 @@ def test_flat_trainer_end_to_end(tmp_path, rng):
 
 
 def test_flat_trainer_params_update_and_frozen(tmp_path, rng):
-    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg = tiny_config(tmp_path, batch_size=1)
     cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
     cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
     cfg.MODEL.PROGRESS_MONITOR.use = True
@@ -139,7 +140,7 @@ def test_flat_trainer_params_update_and_frozen(tmp_path, rng):
 
 
 def test_hierarchical_trainer_end_to_end(tmp_path, rng):
-    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=4)
+    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=1)
     cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
     cfg.freeze()
     fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=8)
@@ -175,7 +176,7 @@ def test_trainer_registry():
 
 def test_nan_guard_skips_update(tmp_path, rng):
     """A poisoned (NaN) batch must not change params or optimizer state."""
-    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg = tiny_config(tmp_path, batch_size=1)
     cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
     cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
     cfg.freeze()
@@ -184,13 +185,14 @@ def test_nan_guard_skips_update(tmp_path, rng):
 
     trainer = RoboVLNTrainer(cfg)
     trainer._setup_policy()
+    gb = trainer.global_batch
     p0 = jax.device_get(trainer.state.params)
 
-    batch = _dummy_batch(cfg, 2, t=4)
+    batch = _dummy_batch(cfg, gb, t=4)
     batch["corrected_actions"][:] = 1.0
     batch["oracle_stop"][:] = 1.0
     batch["rgb"][0, 0, 0, 0, 0] = np.nan  # poison
-    hidden = trainer.policy.initial_hidden(2)
+    hidden = trainer.policy.initial_hidden(gb)
     batch = mesh_lib.shard_batch(trainer.mesh, batch)
     state, hidden, metrics = trainer.train_step(
         trainer.state, hidden, batch, cfg.DAGGER.LR
@@ -203,13 +205,94 @@ def test_nan_guard_skips_update(tmp_path, rng):
     )
 
     # a clean batch updates normally
-    clean = _dummy_batch(cfg, 2, t=4)
+    clean = _dummy_batch(cfg, gb, t=4)
     clean["corrected_actions"][:] = 1.0
     clean["oracle_stop"][:] = 1.0
     clean["rgb"][:] = 10.0
     clean = mesh_lib.shard_batch(trainer.mesh, clean)
-    hidden = trainer.policy.initial_hidden(2)
+    hidden = trainer.policy.initial_hidden(gb)
     state2, _, m2 = trainer.train_step(state, hidden, clean, cfg.DAGGER.LR)
     assert float(m2["skipped_nonfinite"]) == 0.0
     p2 = jax.device_get(state2.params)
     assert not np.allclose(p2["linear"]["kernel"], p1["linear"]["kernel"])
+
+
+def test_batch_scales_to_all_devices(tmp_path, rng):
+    """VERDICT.md weak#1: at BATCH_SIZE=1 per device the global batch must be
+    8 on the 8-device mesh and every device must hold a batch shard."""
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.freeze()
+    from robo_vln_tpu.parallel import mesh as mesh_lib
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer, _dummy_batch
+
+    trainer = RoboVLNTrainer(cfg)
+    assert trainer.mesh.devices.size == 8
+    assert trainer.global_batch == 8
+    batch = mesh_lib.shard_batch(trainer.mesh, _dummy_batch(cfg, 8, t=4))
+    shard_devices = {s.device for s in batch["rgb"].addressable_shards}
+    assert len(shard_devices) == 8, "every device must hold a shard"
+    assert batch["rgb"].addressable_shards[0].data.shape[0] == 1
+
+
+def test_tail_batch_padding_masks_out(tmp_path, rng):
+    """A padded tail batch (fewer episodes than the global batch) must train
+    identically to the same episodes alone: padding rows are fully masked."""
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.freeze()
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=3)  # < global batch 8
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+
+    trainer = RoboVLNTrainer(cfg)
+    batches = list(trainer._batches(cfg.DAGGER.LMDB_FEATURES_DIR, seed=0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["rgb"].shape[0] == 8
+    # exactly 3 real episodes, 5 fully-masked padding rows
+    real = (b["valid_mask"].sum(axis=1) > 0)
+    assert int(real.sum()) == 3
+    pad = ~real
+    assert np.all(b["corrected_actions"][pad] == 0)
+    assert np.all(b["oracle_stop"][pad] == -1.0)
+    assert np.all(b["vln_oracle_action_sensor"][pad] == 0)
+
+
+def test_remat_matches_no_remat(tmp_path, rng):
+    """TPU.REMAT must change memory behavior only: losses and updated params
+    are identical with and without rematerialization."""
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    from robo_vln_tpu.parallel import mesh as mesh_lib
+    from robo_vln_tpu.training import steps as steps_lib
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer, _dummy_batch
+
+    results = {}
+    for remat in (False, True):
+        c = cfg.clone()
+        c.TPU.REMAT = remat
+        c.freeze()
+        trainer = RoboVLNTrainer(c)
+        trainer._setup_policy()
+        gb = trainer.global_batch
+        batch = _dummy_batch(c, gb, t=4)
+        batch["corrected_actions"][:] = 0.7
+        batch["oracle_stop"][:] = 1.0
+        batch["rgb"][:] = 3.0
+        batch = mesh_lib.shard_batch(trainer.mesh, batch)
+        hidden = trainer.policy.initial_hidden(gb)
+        state, _, metrics = trainer.train_step(
+            trainer.state, hidden, batch, c.DAGGER.LR
+        )
+        results[remat] = (
+            float(metrics["total_loss"]), jax.device_get(state.params)
+        )
+    assert np.isclose(results[False][0], results[True][0], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        results[False][1], results[True][1],
+    )
