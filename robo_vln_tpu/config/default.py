@@ -142,12 +142,14 @@ _C.MODEL.RGB_ENCODER = ConfigTree()
 _C.MODEL.RGB_ENCODER.cnn_type = "TorchVisionResNet50"
 _C.MODEL.RGB_ENCODER.output_size = 256
 _C.MODEL.RGB_ENCODER.resnet_output_size = 256
+_C.MODEL.RGB_ENCODER.blocks = [3, 4, 6, 3]  # ResNet50 stage depths
 _C.MODEL.RGB_ENCODER.pretrained_weights = "data/weights/resnet50_imagenet.npz"
 
 _C.MODEL.DEPTH_ENCODER = ConfigTree()
 _C.MODEL.DEPTH_ENCODER.cnn_type = "VlnResnetDepthEncoder"
 _C.MODEL.DEPTH_ENCODER.output_size = 128
 _C.MODEL.DEPTH_ENCODER.backbone = "resnet50"
+_C.MODEL.DEPTH_ENCODER.blocks = [3, 4, 6, 3]
 _C.MODEL.DEPTH_ENCODER.ddppo_checkpoint = "data/ddppo-models/gibson-2plus-resnet50.pth"
 
 _C.MODEL.STATE_ENCODER = ConfigTree()

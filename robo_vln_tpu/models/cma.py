@@ -66,10 +66,12 @@ class CMAPolicy(nn.Module):
         )
         self.depth_encoder = DepthEncoder(
             output_size=mc.DEPTH_ENCODER.output_size, spatial_output=True,
+            blocks=tuple(mc.DEPTH_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         self.rgb_encoder = RGBEncoder(
             output_size=mc.RGB_ENCODER.output_size, spatial_output=True,
+            blocks=tuple(mc.RGB_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         H = mc.STATE_ENCODER.hidden_size

@@ -38,6 +38,7 @@ class DepthEncoder(nn.Module):
     output_size: int = 128
     spatial_output: bool = False
     spatial_size: int = 256
+    blocks: Tuple[int, ...] = (3, 4, 6, 3)
     compute_dtype: Any = jnp.float32
 
     @property
@@ -62,6 +63,7 @@ class DepthEncoder(nn.Module):
             x = jax.lax.stop_gradient(
                 GNResNetEncoder(
                     spatial_size=self.spatial_size,
+                    blocks=self.blocks,
                     compute_dtype=self.compute_dtype,
                     name="visual_encoder",
                 )(observations["depth"])
@@ -77,7 +79,10 @@ class DepthEncoder(nn.Module):
             )
             emb = jnp.broadcast_to(emb[None], (b, h * w, 64)).astype(tokens.dtype)
             return jnp.concatenate([tokens, emb], axis=-1)
-        x = x.reshape(b, -1)
+        # channel-major flatten: torch's Flatten() sees NCHW
+        # (resnet_encoders.py:58-62), so ported visual_fc weights expect
+        # (C, H, W) input ordering
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
         x = nn.Dense(self.output_size, dtype=self.compute_dtype, name="visual_fc")(x)
         return nn.relu(x)
 
@@ -92,6 +97,7 @@ class RGBEncoder(nn.Module):
 
     output_size: int = 256
     spatial_output: bool = False
+    blocks: Tuple[int, ...] = (3, 4, 6, 3)
     compute_dtype: Any = jnp.float32
 
     @property
@@ -110,7 +116,7 @@ class RGBEncoder(nn.Module):
             # frozen ImageNet trunk (resnet_encoders.py:147-149); fc / spatial
             # embeddings below train
             feat = jax.lax.stop_gradient(
-                TVResNet50(compute_dtype=self.compute_dtype, name="cnn")(rgb)
+                TVResNet50(blocks=self.blocks, compute_dtype=self.compute_dtype, name="cnn")(rgb)
             )
             b = feat.shape[0]
         if self.spatial_output:

@@ -55,10 +55,12 @@ class HighLevelPolicy(nn.Module):
         )
         self.depth_encoder = DepthEncoder(
             output_size=mc.DEPTH_ENCODER.output_size, spatial_output=True,
+            blocks=tuple(mc.DEPTH_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         self.rgb_encoder = RGBEncoder(
             output_size=mc.RGB_ENCODER.output_size, spatial_output=True,
+            blocks=tuple(mc.RGB_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         va = mc.VISUAL_LING_ATTN
@@ -171,10 +173,12 @@ class LowLevelPolicy(nn.Module):
         mc = self.model_config
         self.depth_encoder = DepthEncoder(
             output_size=mc.DEPTH_ENCODER.output_size,
+            blocks=tuple(mc.DEPTH_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         self.rgb_encoder = RGBEncoder(
             output_size=mc.RGB_ENCODER.output_size,
+            blocks=tuple(mc.RGB_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         self.sub_task_embedding = nn.Embed(

@@ -52,10 +52,12 @@ class HighLevelSeq2SeqPolicy(nn.Module):
             )
         self.depth_encoder = DepthEncoder(
             output_size=mc.DEPTH_ENCODER.output_size,
+            blocks=tuple(mc.DEPTH_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         self.rgb_encoder = RGBEncoder(
             output_size=mc.RGB_ENCODER.output_size,
+            blocks=tuple(mc.RGB_ENCODER.blocks),
             compute_dtype=self.compute_dtype,
         )
         self.state_encoder = RNNStateEncoder(

@@ -75,6 +75,7 @@ class Seq2SeqPolicy(nn.Module):
         else:
             self.depth_encoder = DepthEncoder(
                 output_size=mc.DEPTH_ENCODER.output_size,
+                blocks=tuple(mc.DEPTH_ENCODER.blocks),
                 compute_dtype=self.compute_dtype,
             )
         if mc.RGB_ENCODER.cnn_type == "SimpleRGBCNN":
@@ -85,6 +86,7 @@ class Seq2SeqPolicy(nn.Module):
         else:
             self.rgb_encoder = RGBEncoder(
                 output_size=mc.RGB_ENCODER.output_size,
+                blocks=tuple(mc.RGB_ENCODER.blocks),
                 compute_dtype=self.compute_dtype,
             )
         self.state_encoder = RNNStateEncoder(

@@ -124,7 +124,8 @@ def convert_seq2seq_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return params
 
 
-def convert_rgb_backbone(sd: Dict[str, np.ndarray], prefix: str = "rgb_encoder.cnn."):
+def convert_rgb_backbone(sd: Dict[str, np.ndarray], prefix: str = "rgb_encoder.cnn.",
+                         blocks=None):
     """torchvision resnet50 weights inside a policy state_dict -> (params,
     batch_stats) for the TVResNet50 'cnn' submodule."""
     from robo_vln_tpu.utils import weight_port as wp
@@ -134,4 +135,227 @@ def convert_rgb_backbone(sd: Dict[str, np.ndarray], prefix: str = "rgb_encoder.c
     }
     if not sub:
         return None, None
-    return wp.port_tv_resnet50(sub)
+    if blocks is None:
+        return wp.port_tv_resnet50(sub)
+    return wp.port_tv_resnet50(sub, blocks=blocks)
+
+
+# -- shared porting helpers ----------------------------------------------------
+
+def _subdict(sd, prefix):
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[prefix + "weight"], "bias": sd[prefix + "bias"]}
+
+
+def _port_mha(sd, prefix):
+    """Reference MultiHeadAttention (transformer.py:111-126): explicit QKVO
+    linears inside .attention, post-LN."""
+    from robo_vln_tpu.utils import weight_port as wp
+
+    return {
+        "fc_q": wp.port_linear(sd, prefix + "attention.fc_q."),
+        "fc_k": wp.port_linear(sd, prefix + "attention.fc_k."),
+        "fc_v": wp.port_linear(sd, prefix + "attention.fc_v."),
+        "fc_o": wp.port_linear(sd, prefix + "attention.fc_o."),
+        "layer_norm": _ln(sd, prefix + "layer_norm."),
+    }
+
+
+def _port_pwff(sd, prefix):
+    from robo_vln_tpu.utils import weight_port as wp
+
+    return {
+        "fc1": wp.port_linear(sd, prefix + "fc1."),
+        "fc2": wp.port_linear(sd, prefix + "fc2."),
+        "layer_norm": _ln(sd, prefix + "layer_norm."),
+    }
+
+
+def _port_visual_ling_attn(sd, prefix):
+    """Reference Visual_Ling_Attn (transformer.py:251-281) -> VisualLingAttn
+    params (models/transformer.py)."""
+    from robo_vln_tpu.utils import weight_port as wp
+
+    p = {
+        "vis_fc": wp.port_linear(sd, prefix + "vis_fc."),
+        "ins_fc": wp.port_linear(sd, prefix + "ins_fc."),
+        "layer_norm": _ln(sd, prefix + "layer_norm."),
+    }
+    i = 0
+    while f"{prefix}layers.{i}.enc_att.attention.fc_q.weight" in sd:
+        p[f"layers_{i}"] = {
+            "enc_att": _port_mha(sd, f"{prefix}layers.{i}.enc_att."),
+            "pwff": _port_pwff(sd, f"{prefix}layers.{i}.pwff."),
+        }
+        i += 1
+    return p
+
+
+def _port_spatial_embeddings(weight, n_tokens: int) -> np.ndarray:
+    """Reference spatial embeddings are concatenated channel-major via
+    ``emb(arange(S)).view(1, -1, h, w)`` (resnet_encoders.py:91-102) — torch's
+    row-major view SCRAMBLES (token, dim) into (dim, token): channel k at
+    token p reads weight.flatten()[k*S + p].  Our token-major layout wants
+    [p, k], so the ported table is flatten().reshape(64, S).T."""
+    w = np.asarray(weight)
+    dim = w.size // n_tokens
+    return w.reshape(-1).reshape(dim, n_tokens).T
+
+
+def _port_depth_encoder(sd, prefix, spatial: bool, blocks=None):
+    """VlnResnetDepthEncoder (resnet_encoders.py:13-108) -> DepthEncoder
+    params: frozen GN backbone + (visual_fc | scrambled spatial table)."""
+    from robo_vln_tpu.utils import weight_port as wp
+
+    bb = {
+        k: v for k, v in _subdict(sd, prefix + "visual_encoder.").items()
+        if "running" not in k and "num_batches" not in k
+    }
+    kwargs = {} if blocks is None else {"blocks": blocks}
+    p = {"visual_encoder": wp.port_gn_resnet_encoder(bb, **kwargs)}
+    if spatial:
+        w = sd[prefix + "spatial_embeddings.weight"]
+        p["spatial_embeddings"] = _port_spatial_embeddings(w, len(np.asarray(w)))
+    else:
+        p["visual_fc"] = wp.port_linear(sd, prefix + "visual_fc.1.")
+    return p
+
+
+def _port_rgb_encoder(sd, prefix, spatial: bool, blocks=None):
+    """TorchVisionResNet50 (resnet_encoders.py:111-237) -> RGBEncoder
+    (params, batch_stats)."""
+    from robo_vln_tpu.utils import weight_port as wp
+
+    cnn_params, cnn_stats = convert_rgb_backbone(sd, prefix + "cnn.", blocks=blocks)
+    p = {"cnn": cnn_params}
+    if spatial:
+        w = sd[prefix + "spatial_embeddings.weight"]
+        p["spatial_embeddings"] = _port_spatial_embeddings(w, len(np.asarray(w)))
+    else:
+        p["fc"] = wp.port_linear(sd, prefix + "fc.")
+    return p, {"cnn": cnn_stats}
+
+
+def convert_high_level_state_dict(sd: Dict[str, np.ndarray], blocks=None) -> Dict:
+    """Reference Seq2Seq_HighLevel_CMA state_dict
+    (seq2seq_highlevel_cma.py:29-233) -> HighLevelPolicy variables
+    ({"params", "batch_stats"}).  `blocks` overrides the ResNet block counts
+    for reduced test-scale trunks."""
+    from robo_vln_tpu.utils import weight_port as wp
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    n_bert = 0
+    while f"embedding_layer.encoder.layer.{n_bert}.attention.self.query.weight" in sd:
+        n_bert += 1
+    params: Dict = {
+        "embedding_layer": wp.port_bert(
+            _subdict(sd, "embedding_layer."), num_layers=n_bert
+        ),
+        "depth_encoder": _port_depth_encoder(
+            sd, "depth_encoder.", spatial=True, blocks=blocks
+        ),
+        "rgb_kv": wp.port_conv1d_as_dense(sd, "rgb_kv."),
+        "depth_kv": wp.port_conv1d_as_dense(sd, "depth_kv."),
+        "image_cm_encoder": _port_visual_ling_attn(sd, "image_cm_encoder."),
+        # Sequential indices: rgb_linear = [pool, flatten, Linear@2, relu],
+        # depth_linear = [flatten, Linear@1, relu] (seq2seq_highlevel_cma.py:83-100)
+        "rgb_linear": wp.port_linear(sd, "rgb_linear.2."),
+        "depth_linear": wp.port_linear(sd, "depth_linear.1."),
+        "state_encoder": wp.port_torch_rnn(sd, "state_encoder.rnn."),
+        "progress_monitor": wp.port_linear(sd, "progress_monitor."),
+        "linear": wp.port_linear(sd, "linear."),
+    }
+    rgb_p, rgb_stats = _port_rgb_encoder(sd, "rgb_encoder.", spatial=True, blocks=blocks)
+    params["rgb_encoder"] = rgb_p
+    return {"params": params, "batch_stats": {"rgb_encoder": rgb_stats}}
+
+
+def convert_low_level_state_dict(sd: Dict[str, np.ndarray], blocks=None) -> Dict:
+    """Reference Seq2Seq_LowLevel state_dict (seq2seq_lowlevel.py:21-162) ->
+    LowLevelPolicy variables."""
+    from robo_vln_tpu.utils import weight_port as wp
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict = {
+        "depth_encoder": _port_depth_encoder(
+            sd, "depth_encoder.", spatial=False, blocks=blocks
+        ),
+        "sub_task_embedding": {"embedding": sd["sub_task_embedding.weight"]},
+        "state_encoder": wp.port_torch_rnn(sd, "state_encoder.rnn."),
+        "progress_monitor": wp.port_linear(sd, "progress_monitor."),
+        "linear": wp.port_linear(sd, "linear."),
+        "stop_linear": wp.port_linear(sd, "stop_linear."),
+    }
+    rgb_p, rgb_stats = _port_rgb_encoder(sd, "rgb_encoder.", spatial=False, blocks=blocks)
+    params["rgb_encoder"] = rgb_p
+    return {"params": params, "batch_stats": {"rgb_encoder": rgb_stats}}
+
+
+def convert_hierarchical_checkpoint(ckpt: Dict, blocks=None):
+    """Reference hierarchical ckpt ({high_level_state_dict,
+    low_level_state_dict}, hierarchical_trainer.py:349-363 — the published
+    HCM_Agent.pth layout, README.md:251-255) -> (high_vars, low_vars)."""
+    return (
+        convert_high_level_state_dict(ckpt["high_level_state_dict"], blocks=blocks),
+        convert_low_level_state_dict(ckpt["low_level_state_dict"], blocks=blocks),
+    )
+
+
+def convert_cma_state_dict(sd: Dict[str, np.ndarray], blocks=None) -> Dict:
+    """Reference CMANet state_dict (cma.py:20-333) -> CMAPolicy variables."""
+    from robo_vln_tpu.utils import weight_port as wp
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    ins: Dict = {}
+    if "instruction_encoder.embedding_layer.weight" in sd:
+        ins["embedding"] = sd["instruction_encoder.embedding_layer.weight"]
+    ins["fwd"] = wp.port_torch_rnn(sd, "instruction_encoder.encoder_rnn.")
+    if "instruction_encoder.encoder_rnn.weight_ih_l0_reverse" in sd:
+        ins["bwd"] = {
+            "w_ih": sd["instruction_encoder.encoder_rnn.weight_ih_l0_reverse"].T,
+            "w_hh": sd["instruction_encoder.encoder_rnn.weight_hh_l0_reverse"].T,
+            "b_ih": sd["instruction_encoder.encoder_rnn.bias_ih_l0_reverse"],
+            "b_hh": sd["instruction_encoder.encoder_rnn.bias_hh_l0_reverse"],
+        }
+    params: Dict = {
+        "instruction_encoder": ins,
+        "depth_encoder": _port_depth_encoder(
+            sd, "depth_encoder.", spatial=True, blocks=blocks
+        ),
+        "rgb_linear": wp.port_linear(sd, "rgb_linear.2."),
+        "depth_linear": wp.port_linear(sd, "depth_linear.1."),
+        "state_encoder": wp.port_torch_rnn(sd, "state_encoder.rnn."),
+        "second_state_encoder": wp.port_torch_rnn(sd, "second_state_encoder.rnn."),
+        "rgb_kv": wp.port_conv1d_as_dense(sd, "rgb_kv."),
+        "depth_kv": wp.port_conv1d_as_dense(sd, "depth_kv."),
+        "state_q": wp.port_linear(sd, "state_q."),
+        "text_k": wp.port_conv1d_as_dense(sd, "text_k."),
+        "text_q": wp.port_linear(sd, "text_q."),
+        "second_state_compress": wp.port_linear(sd, "second_state_compress.0."),
+        "progress_monitor": wp.port_linear(sd, "progress_monitor."),
+        "linear": wp.port_linear(sd, "linear."),
+        "stop_linear": wp.port_linear(sd, "stop_linear."),
+    }
+    if "prev_action_embedding.weight" in sd:
+        params["prev_action_embedding"] = {
+            "embedding": sd["prev_action_embedding.weight"]
+        }
+    rgb_p, rgb_stats = _port_rgb_encoder(sd, "rgb_encoder.", spatial=True, blocks=blocks)
+    params["rgb_encoder"] = rgb_p
+    return {"params": params, "batch_stats": {"rgb_encoder": rgb_stats}}
+
+
+def convert_torch_checkpoint(path: str, blocks=None):
+    """Load a reference .pth and convert: returns ("hierarchical", (high_vars,
+    low_vars)) for HCM checkpoints, ("cma", vars) for CMANet, or ("seq2seq",
+    params) for flat Seq2SeqNet ones."""
+    ckpt = load_torch_state_dict(path)
+    if "high_level_state_dict" in ckpt:
+        return "hierarchical", convert_hierarchical_checkpoint(ckpt, blocks=blocks)
+    sd = ckpt.get("state_dict", ckpt)
+    if any(k.startswith("second_state_encoder.") for k in sd):
+        return "cma", convert_cma_state_dict(sd, blocks=blocks)
+    return "seq2seq", convert_seq2seq_state_dict(sd)
