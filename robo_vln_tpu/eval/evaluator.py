@@ -5,10 +5,23 @@ Equivalents of the reference `_eval_checkpoint` loops
 alternation of a single-step jitted policy with a host-side sim step,
 per-episode nDTW against GT locations, aggregated stats json + scalars.
 
-Structure for latency: the policy step is ONE jitted program (for HCM: BERT +
-all four encoders + both LSTMs + heads — no cuda:0/cuda:1 crossing) with
-donated hidden state; the velocity command is the only device->host transfer
-per tick.
+One rollout driver (:func:`_run_rollout`) serves both trainers — the flat and
+hierarchical evaluators differ only in their jitted policy-step closure and
+recurrent-state pytree (the reference duplicates ~300 lines between its two
+loops).
+
+Latency structure per tick:
+* the policy step is ONE jitted program (for HCM: BERT + all four encoders +
+  both LSTMs + heads — no cuda:0/cuda:1 crossing); jax dispatch is async, so
+  video-frame assembly for the PREVIOUS tick runs on the host while the
+  device computes;
+* the sim step runs through AsyncEnvPool.async_step/wait_step — host
+  bookkeeping (actuation bookkeeping, stop-prob, stats prep) overlaps the
+  C++ sim step;
+* the episode instruction is tokenized ONCE per episode and cached (the
+  reference re-tokenizes every control step, robo_vln_trainer.py:1080).
+Set ROBO_VLN_EVAL_SERIAL=1 to force the fully serial reference ordering
+(used to measure the overlap win).
 
 Preserved reference quirks:
 * omega clipped to +/-1.0 at actuation (robo_vln_trainer.py:1117-1119);
@@ -22,7 +35,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict
+from typing import Callable, Dict
 
 import numpy as np
 
@@ -30,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from robo_vln_tpu.data.tokenizer import InstructionTokenizer
+from robo_vln_tpu.envs.async_env import AsyncEnvPool
 from robo_vln_tpu.envs.env_utils import construct_env
 from robo_vln_tpu.envs.obs_utils import batch_obs, transform_obs
 from robo_vln_tpu.envs.velocity_control import VelocityControl
@@ -49,13 +63,20 @@ def _load_gt(config):
     return {}
 
 
-def _policy_obs(config, observations, tokenizer, is_bert):
-    obs = transform_obs(
-        dict(observations), config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID,
-        tokenizer=tokenizer, is_bert=is_bert,
-    )
-    keep = ("rgb", "depth", "instruction", "progress")
-    obs = {k: v for k, v in obs.items() if k in keep}
+def _policy_obs(config, observations, tokenizer, is_bert, instr_cache,
+                episode_id):
+    obs = dict(observations)
+    uuid = config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID
+    if episode_id in instr_cache:
+        obs[uuid] = instr_cache[episode_id]
+        keep = ("rgb", "depth", uuid, "progress")
+        obs = {k: v for k, v in obs.items() if k in keep}
+    else:
+        obs = transform_obs(obs, uuid, tokenizer=tokenizer, is_bert=is_bert)
+        instr_cache.clear()  # one episode in flight; don't grow unboundedly
+        instr_cache[episode_id] = obs[uuid]
+        keep = ("rgb", "depth", uuid, "progress")
+        obs = {k: v for k, v in obs.items() if k in keep}
     return batch_obs(obs, pad_instruction_to=config.DAGGER.MAX_INSTRUCTION_LEN)
 
 
@@ -106,70 +127,91 @@ def _tokenizer_for(config):
     ) if vf else None
 
 
-def eval_flat_checkpoint(trainer, checkpoint_path, writer,
-                         checkpoint_index: int = 0) -> Dict[str, float]:
-    config = _eval_config(trainer, checkpoint_path)
-    is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
-    tokenizer = _tokenizer_for(config)
+def _run_rollout(
+    config,
+    env,
+    writer,
+    checkpoint_index: int,
+    policy_step: Callable,  # (obs_jnp, state, prev, mask) -> (act, stop, state)
+    init_state: Callable,  # () -> recurrent-state pytree
+    tokenizer,
+    is_bert: bool,
+) -> Dict[str, float]:
+    """Shared closed-loop rollout: policy tick / sim tick alternation with
+    device-host overlap, per-episode stats, videos, aggregation."""
     gt_json = _load_gt(config)
-    env = construct_env(config)
-
-    if trainer.policy is None:
-        trainer._setup_policy()
-    if checkpoint_path and os.path.exists(str(checkpoint_path)):
-        trainer.state = ckpt_lib.load_checkpoint(checkpoint_path, trainer.state)
-        logger.info(f"Loaded weights from checkpoint: {checkpoint_path}")
-    policy = trainer.policy
-    bound = trainer._bound_policy()
-    params = trainer.state.params
-
-    @jax.jit
-    def policy_step(params, obs, hidden, prev, mask):
-        actions, stop, hidden, _ = bound.apply(
-            {"params": params}, obs, hidden, prev, mask
-        )
-        return actions, stop, hidden
-
+    serial = bool(os.environ.get("ROBO_VLN_EVAL_SERIAL"))
+    pool = AsyncEnvPool([env])
     vc = VelocityControl()
     sd = config.TASK_CONFIG.TASK.NDTW.SUCCESS_DISTANCE
-    observations = env.reset()
-    obs = _policy_obs(config, observations, tokenizer, is_bert)
-    hidden = policy.initial_hidden(1)
+
+    instr_cache: Dict = {}
+    observations = pool.reset()[0]
+    ep = env.habitat_env.current_episode
+    obs = _policy_obs(config, observations, tokenizer, is_bert, instr_cache,
+                      ep.episode_id)
+    state = init_state()
     prev = jnp.zeros((1, 2))
     mask = jnp.zeros((1,))
 
-    stats_episodes = {}
+    stats_episodes: Dict = {}
     locations = []
     rgb_frames = []
+    pending_frame = None  # (observations, info) awaiting assembly
     steps = 0
+
+    def assemble_pending():
+        nonlocal pending_frame
+        if pending_frame is None:
+            return
+        from robo_vln_tpu.tasks.viz import (
+            append_text_to_image, observations_to_image,
+        )
+
+        f_obs, f_info = pending_frame
+        frame = observations_to_image(f_obs, f_info)
+        rgb_frames.append(
+            append_text_to_image(frame, ep.instruction.instruction_text)
+        )
+        pending_frame = None
+
     while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
         ep = env.habitat_env.current_episode
         locations.append(list(env.habitat_env._sim.get_agent_position()))
-        actions, stop_out, hidden = policy_step(
-            params, {k: jnp.asarray(v) for k, v in obs.items()}, hidden, prev,
-            mask,
+        # dispatch is async: the device computes while the host assembles the
+        # previous tick's video frame
+        actions, stop_out, state = policy_step(
+            {k: jnp.asarray(v) for k, v in obs.items()}, state, prev, mask
         )
+        if config.VIDEO_OPTION and not serial:
+            assemble_pending()
         prev = actions
         mask = jnp.ones((1,))
-        a = np.asarray(actions)[0]
+        a = np.asarray(actions)[0]  # sync point
         lin_vel = float(a[0])
         vc.linear_velocity = np.array([0.0, 0.0, lin_vel])
         vc.angular_velocity = np.array([0.0, float(np.clip(a[1], -1.0, 1.0)), 0.0])
-        observations, _, done, info = env.step(vc)
+
+        if serial:
+            step_result = pool.step([vc])[0]
+            stop_logit = float(np.asarray(stop_out)[0, 0])
+        else:
+            pool.async_step([vc])
+            # overlaps the C++ sim step
+            stop_logit = float(np.asarray(stop_out)[0, 0])
+            step_result = pool.wait_step()[0]
+        observations, _, done, info = step_result
         episode_over, success = done
-        stop_pred = float(np.round(1 / (1 + np.exp(-np.asarray(stop_out)[0, 0]))))
+        stop_pred = float(np.round(1 / (1 + np.exp(-stop_logit))))
         episode_success = success and (lin_vel < 0.25 or stop_pred == 1)
         steps += 1
 
         if config.VIDEO_OPTION:
-            from robo_vln_tpu.tasks.viz import (
-                append_text_to_image, observations_to_image,
-            )
-
-            frame = observations_to_image(observations, info)
-            rgb_frames.append(
-                append_text_to_image(frame, ep.instruction.instruction_text)
-            )
+            if serial:
+                pending_frame = (observations, info)
+                assemble_pending()
+            else:
+                pending_frame = (observations, info)
 
         if episode_over or episode_success or (
             steps == config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
@@ -182,6 +224,7 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
             stats["actual_success"] = 1.0 if episode_success else 0.0
             stats_episodes[ep.episode_id] = stats
             if config.VIDEO_OPTION:
+                assemble_pending()
                 from robo_vln_tpu.tasks.viz import generate_video
 
                 generate_video(
@@ -193,22 +236,53 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
                 rgb_frames = []
             locations = []
             steps = 0
-            observations = env.reset()
-            hidden = policy.initial_hidden(1)
+            observations = pool.reset()[0]
+            ep = env.habitat_env.current_episode
+            state = init_state()
             prev = jnp.zeros((1, 2))
             mask = jnp.zeros((1,))
-        obs = _policy_obs(config, observations, tokenizer, is_bert)
+        obs = _policy_obs(config, observations, tokenizer, is_bert,
+                          instr_cache, ep.episode_id)
 
     env.close()
     return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
 
 
+def eval_flat_checkpoint(trainer, checkpoint_path, writer,
+                         checkpoint_index: int = 0) -> Dict[str, float]:
+    config = _eval_config(trainer, checkpoint_path)
+    env = construct_env(config)
+
+    if trainer.policy is None:
+        trainer._setup_policy()
+    if checkpoint_path and os.path.exists(str(checkpoint_path)):
+        trainer.state = ckpt_lib.load_checkpoint(checkpoint_path, trainer.state)
+        logger.info(f"Loaded weights from checkpoint: {checkpoint_path}")
+    policy = trainer.policy
+    bound = trainer._bound_policy()
+    params = trainer.state.params
+
+    @jax.jit
+    def step_fn(params, obs, hidden, prev, mask):
+        actions, stop, hidden, _ = bound.apply(
+            {"params": params}, obs, hidden, prev, mask
+        )
+        return actions, stop, hidden
+
+    def policy_step(obs, hidden, prev, mask):
+        actions, stop, hidden = step_fn(params, obs, hidden, prev, mask)
+        return actions, stop, hidden
+
+    return _run_rollout(
+        config, env, writer, checkpoint_index, policy_step,
+        lambda: policy.initial_hidden(1),
+        _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
+    )
+
+
 def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
                                  checkpoint_index: int = 0) -> Dict[str, float]:
     config = _eval_config(trainer, checkpoint_path)
-    is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
-    tokenizer = _tokenizer_for(config)
-    gt_json = _load_gt(config)
     env = construct_env(config)
 
     if trainer.high is None:
@@ -223,7 +297,7 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
     low_b = _bind(low, trainer._low_extra)
 
     @jax.jit
-    def policy_step(hp, lp, obs, hh, lh, prev, mask):
+    def step_fn(hp, lp, obs, hh, lh, prev, mask):
         logits, hh = high_b.apply({"params": hp}, obs, hh, prev, mask)
         pred = jnp.argmax(logits, axis=-1)
         actions, stop, lh = low_b.apply(
@@ -231,76 +305,16 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
         )
         return actions, stop, hh, lh
 
-    vc = VelocityControl()
-    sd = config.TASK_CONFIG.TASK.NDTW.SUCCESS_DISTANCE
-    observations = env.reset()
-    obs = _policy_obs(config, observations, tokenizer, is_bert)
-    hh = high.initial_hidden(1)
-    lh = low.initial_hidden(1)
-    prev = jnp.zeros((1, 2))
-    mask = jnp.zeros((1,))
-
-    stats_episodes = {}
-    locations = []
-    rgb_frames = []
-    steps = 0
-    while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
-        ep = env.habitat_env.current_episode
-        locations.append(list(env.habitat_env._sim.get_agent_position()))
-        actions, stop_out, hh, lh = policy_step(
+    def policy_step(obs, state, prev, mask):
+        hh, lh = state
+        actions, stop, hh, lh = step_fn(
             trainer.state.high.params, trainer.state.low.params,
-            {k: jnp.asarray(v) for k, v in obs.items()}, hh, lh, prev, mask,
+            obs, hh, lh, prev, mask,
         )
-        prev = actions
-        mask = jnp.ones((1,))
-        a = np.asarray(actions)[0]
-        lin_vel = float(a[0])
-        vc.linear_velocity = np.array([0.0, 0.0, lin_vel])
-        vc.angular_velocity = np.array([0.0, float(np.clip(a[1], -1.0, 1.0)), 0.0])
-        observations, _, done, info = env.step(vc)
-        episode_over, success = done
-        stop_pred = float(np.round(1 / (1 + np.exp(-np.asarray(stop_out)[0, 0]))))
-        episode_success = success and (lin_vel < 0.25 or stop_pred == 1)
-        steps += 1
+        return actions, stop, (hh, lh)
 
-        if config.VIDEO_OPTION:
-            from robo_vln_tpu.tasks.viz import (
-                append_text_to_image, observations_to_image,
-            )
-
-            frame = observations_to_image(observations, info)
-            rgb_frames.append(
-                append_text_to_image(frame, ep.instruction.instruction_text)
-            )
-
-        if episode_over or episode_success or (
-            steps == config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
-        ):
-            gt_locations = gt_json.get(str(ep.episode_id), {}).get(
-                "locations", list(ep.reference_path) + [ep.goals[0].position]
-            )
-            stats = dict(info)
-            stats["ndtw"] = ndtw(locations, gt_locations, sd)
-            stats["actual_success"] = 1.0 if episode_success else 0.0
-            stats_episodes[ep.episode_id] = stats
-            if config.VIDEO_OPTION:
-                from robo_vln_tpu.tasks.viz import generate_video
-
-                generate_video(
-                    list(config.VIDEO_OPTION), config.VIDEO_DIR, rgb_frames,
-                    ep.episode_id, checkpoint_index,
-                    {"SPL": round(stats.get("spl") or 0.0, 6)}, writer,
-                    fps=int(1.0 / config.DAGGER.time_step),
-                )
-                rgb_frames = []
-            locations = []
-            steps = 0
-            observations = env.reset()
-            hh = high.initial_hidden(1)
-            lh = low.initial_hidden(1)
-            prev = jnp.zeros((1, 2))
-            mask = jnp.zeros((1,))
-        obs = _policy_obs(config, observations, tokenizer, is_bert)
-
-    env.close()
-    return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
+    return _run_rollout(
+        config, env, writer, checkpoint_index, policy_step,
+        lambda: (high.initial_hidden(1), low.initial_hidden(1)),
+        _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
+    )
