@@ -160,6 +160,105 @@ class TorchHCM(nn.Module):
         return self.low_head(lo_out[:, 0]), self.stop_head(lo_out[:, 0])
 
 
+def _train_window(model, instruction, rgb, depth, subgoals, vel_t, stop_t,
+                  opt_high, opt_low):
+    """One IL train window mirroring the reference hot loop
+    (hierarchical_trainer.py:492-560): frozen trunks under no_grad, trainable
+    heads/LSTMs/attention grad-enabled, CE+MSE+BCE losses, backward, both
+    optimizer steps."""
+    import torch.nn.functional as F
+
+    T = rgb.shape[0]
+    with torch.no_grad():
+        emb = model.bert(instruction).last_hidden_state.expand(T, -1, -1)
+        rgb_nchw = rgb.permute(0, 3, 1, 2) / 255.0
+        depth_nchw = depth.permute(0, 3, 1, 2)
+        rf_raw = model.rgb_hi(rgb_nchw)
+        df_raw = model.depth_hi(depth_nchw)
+        rlo = model.rgb_lo(rgb_nchw).mean((2, 3))
+        dlo_raw = model.depth_lo(depth_nchw)
+
+    rf = F.adaptive_avg_pool2d(rf_raw, (4, 4))
+    rf = torch.cat([rf, torch.zeros(T, 64, 4, 4)], dim=1).flatten(2)
+    df = model.depth_compress(df_raw)
+    df = torch.cat([df, torch.zeros(T, 64, 8, 8)], dim=1).flatten(2)
+    rgb_sp = model.rgb_kv(rf).permute(0, 2, 1)
+    depth_sp = model.depth_kv(df).permute(0, 2, 1)
+    ins = torch.relu(model.ins_fc(emb))
+    att_r, _ = model.mha(ins, torch.relu(model.vis_fc(rgb_sp)),
+                         torch.relu(model.vis_fc(rgb_sp)))
+    att_d, _ = model.mha(ins, torch.relu(model.vis_fc(depth_sp)),
+                         torch.relu(model.vis_fc(depth_sp)))
+    att_r = model.ffn(att_r).mean(1)
+    att_d = model.ffn(att_d).mean(1)
+    rgb_in = torch.relu(model.rgb_linear(rf.mean(-1)))
+    depth_in = torch.relu(model.depth_linear(df.flatten(1)))
+    x = torch.cat([rgb_in, depth_in, att_r, att_d], dim=1).unsqueeze(1)
+    hi_out, _ = model.high_rnn(x)
+    hi_logits = model.high_head(hi_out[:, 0])
+
+    dlo = model.depth_lo_compress(dlo_raw).flatten(1)
+    xl = torch.cat(
+        [torch.relu(model.rgb_lo_fc(rlo)), torch.relu(model.depth_lo_fc(dlo)),
+         model.sub_emb(subgoals)], dim=1,
+    ).unsqueeze(1)
+    lo_out, _ = model.low_rnn(xl)
+    vel = model.low_head(lo_out[:, 0])
+    stop = model.stop_head(lo_out[:, 0])
+
+    loss = (
+        F.cross_entropy(hi_logits, subgoals)
+        + F.mse_loss(vel, vel_t)
+        + F.binary_cross_entropy_with_logits(stop, stop_t)
+    )
+    opt_high.zero_grad()
+    opt_low.zero_grad()
+    loss.backward()
+    opt_high.step()
+    opt_low.step()
+    return float(loss.detach())
+
+
+def measure_torch_cpu_train_fps(frames: int = 2, repeats: int = 3) -> float:
+    """Frames/sec of the torch-CPU HCM IL train step (forward + backward +
+    AdamW high / Adam low optimizer steps, frozen trunks no-grad — reference
+    hierarchical_trainer.py:492-560).  Uses all CPU cores
+    (torch.get_num_threads() default; recorded in baseline_cache.json)."""
+    torch.manual_seed(0)
+    model = TorchHCM()
+    for mod in (model.bert, model.rgb_hi, model.depth_hi, model.rgb_lo,
+                model.depth_lo):
+        for p in mod.parameters():
+            p.requires_grad_(False)
+    high_names = ("depth_compress", "rgb_kv", "depth_kv", "vis_fc", "ins_fc",
+                  "mha", "ffn", "rgb_linear", "depth_linear", "high_rnn",
+                  "high_head")
+    high_params, low_params = [], []
+    for name, p in model.named_parameters():
+        if not p.requires_grad:
+            continue
+        (high_params if name.split(".")[0] in high_names else low_params).append(p)
+    opt_high = torch.optim.AdamW(high_params, lr=1e-4)
+    opt_low = torch.optim.Adam(low_params, lr=1e-4)
+
+    instruction = torch.randint(1, 1000, (1, 200))
+    rgb = torch.rand(frames, 224, 224, 3) * 255
+    depth = torch.rand(frames, 256, 256, 1)
+    subgoals = torch.randint(0, 4, (frames,))
+    vel_t = torch.rand(frames, 2)
+    stop_t = (torch.rand(frames, 1) > 0.7).float()
+
+    _train_window(model, instruction, rgb[:1], depth[:1], subgoals[:1],
+                  vel_t[:1], stop_t[:1], opt_high, opt_low)  # warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _train_window(model, instruction, rgb, depth, subgoals, vel_t, stop_t,
+                      opt_high, opt_low)
+        times.append(time.perf_counter() - t0)
+    return frames / min(times)
+
+
 def measure_torch_cpu_fps(frames: int = 4, repeats: int = 3) -> float:
     """Frames/sec of the torch-CPU HCM forward (all cores, eval mode)."""
     torch.manual_seed(0)
