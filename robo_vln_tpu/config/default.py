@@ -42,6 +42,10 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.REMAT = True  # jax.checkpoint over scan chunks
 _C.TPU.DONATE = True  # donate train state buffers in the jitted step
 _C.TPU.USE_PALLAS = True  # fused kernels where profitable (falls back off-TPU)
+# fused attention kernel (ops/pallas_attention.py): parity-tested but measured
+# SLOWER than XLA at HCM shapes on v5e (N=200,L=200,S=16,h=4: 960us vs 149us —
+# the op is too small; XLA's batched dot_general wins), so off by default
+_C.TPU.PALLAS_ATTENTION = False
 
 # ---------------------------------------------------------------------------
 # EVAL (reference config/default.py:44-52)

@@ -15,9 +15,9 @@ Token layout: spatial outputs are returned as (B, S, C) token-major (the
 reference keeps NCHW and flattens to (B, C, S); our 1x1 convs become Dense
 over the last axis — identical math, TPU-friendly layout).
 
-Frozen-ness: the policies wrap these in ``jax.lax.stop_gradient``; parameters
-also live under a `frozen` logical collection name prefix so optimizers can
-zero their updates (see training/train_state.py).
+Frozen-ness: the policies wrap these in ``jax.lax.stop_gradient``, and the
+optimizers mask the backbone subtrees out entirely
+(training/optimizers.py:trainable_mask / masked).
 """
 
 from __future__ import annotations

@@ -15,11 +15,10 @@ Functional equivalents of the reference transformer stack
   queries.
 
 All matmuls run in the configured compute dtype (bfloat16 by default) with
-float32 accumulation; the softmax is kept in float32.  At L<=200 instruction
-tokens x 16 visual tokens per frame these blocks are MXU-bound; XLA fuses the
-residual/LN chains so no manual kernel is needed here (the fused pallas
-variant lives in ops/cm_attention.py and is used on TPU for the full
-attention+FFN pipeline).
+float32 accumulation; the softmax is kept in float32.  The attention core
+dispatches through ops/cm_attention.attention_core: the fused pallas kernel
+(ops/pallas_attention.py — QK^T -> softmax -> AV resident in VMEM) on TPU for
+unmasked tile-aligned calls when TPU.USE_PALLAS is set, plain XLA otherwise.
 """
 
 from __future__ import annotations
@@ -29,7 +28,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from robo_vln_tpu.ops.cm_attention import mha_attention
+from robo_vln_tpu.ops.cm_attention import attention_core
 
 
 def sinusoid_encoding_table(max_len: int, d_model: int) -> jnp.ndarray:
@@ -58,7 +57,7 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(self.h * d_k, name="fc_q", dtype=self.compute_dtype)(queries)
         k = nn.Dense(self.h * d_k, name="fc_k", dtype=self.compute_dtype)(keys)
         v = nn.Dense(self.h * d_k, name="fc_v", dtype=self.compute_dtype)(values)
-        out = mha_attention(q, k, v, self.h, attention_mask)
+        out = attention_core(q, k, v, self.h, attention_mask)
         out = nn.Dense(self.d_model, name="fc_o", dtype=self.compute_dtype)(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(

@@ -4,14 +4,15 @@ Reference: ScaledDotProductAttention (transformer/transformer.py:81-109) —
 logits / sqrt(d_k), mask-fill -inf before the softmax and hard-zero after (so
 fully-masked rows produce zeros, not NaNs), then the value contraction.
 
-Two implementations:
+Two implementations behind :func:`attention_core` (what the transformer
+blocks call):
 
-* :func:`mha_attention` — pure XLA.  At robo-vln sizes (L<=200 queries, S=16
-  visual keys) XLA fuses this into a couple of MXU ops; it is the default and
-  the fallback on CPU.
-* :func:`fused_cross_modal_attention` (ops/pallas_attention.py) — a pallas
-  kernel fusing QK^T -> softmax -> AV in VMEM for the TPU hot path, used by
-  the HCM policy when TPU.USE_PALLAS is set and shapes are tile-aligned.
+* :func:`mha_attention` — pure XLA; the default, the masked path, and the
+  CPU fallback.
+* ``fused_cross_modal_attention`` (ops/pallas_attention.py) — a pallas kernel
+  fusing QK^T -> softmax -> AV in VMEM, used on TPU for unmasked tile-aligned
+  calls when :func:`set_use_pallas` has enabled it (trainers wire it from
+  config TPU.USE_PALLAS).
 """
 
 from __future__ import annotations
@@ -22,6 +23,35 @@ import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e30
+
+# process-global gate, set from config TPU.USE_PALLAS by the trainers /
+# benchmarks (flax module attrs would force replumbing every policy builder
+# for what is a pure execution-backend choice)
+_USE_PALLAS = False
+
+
+def set_use_pallas(enabled: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = bool(enabled)
+
+
+def use_pallas() -> bool:
+    return _USE_PALLAS
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    attention_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dispatch: fused pallas kernel (TPU, unmasked, aligned, enabled) or XLA."""
+    if _USE_PALLAS and attention_mask is None:
+        from robo_vln_tpu.ops.pallas_attention import fused_cross_modal_attention
+
+        return fused_cross_modal_attention(q, k, v, num_heads)
+    return mha_attention(q, k, v, num_heads, attention_mask)
 
 
 def mha_attention(

@@ -58,6 +58,9 @@ class HierarchicalTrainer(BaseTrainer):
 
     def _setup_policy(self, load_from_ckpt: bool = False, ckpt_path: str = ""):
         cfg = self.config
+        from robo_vln_tpu.ops import cm_attention
+
+        cm_attention.set_use_pallas(cfg.TPU.PALLAS_ATTENTION)
         self.high, self.low = build_hierarchical_policies(
             cfg.MODEL, compute_dtype=resolve_dtype(cfg.TPU.PRECISION)
         )

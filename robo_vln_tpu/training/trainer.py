@@ -106,6 +106,9 @@ class RoboVLNTrainer(BaseTrainer):
     # -- setup ---------------------------------------------------------------
     def _setup_policy(self, load_from_ckpt: bool = False, ckpt_path: str = ""):
         cfg = self.config
+        from robo_vln_tpu.ops import cm_attention
+
+        cm_attention.set_use_pallas(cfg.TPU.PALLAS_ATTENTION)
         self.policy = build_flat_policy(
             cfg.MODEL, compute_dtype=resolve_dtype(cfg.TPU.PRECISION)
         )
