@@ -81,6 +81,17 @@ _TC.TASK.SDTW.FDTW = True
 _TC.TASK.SDTW.GT_PATH = "data/datasets/robo_vln_v1/{split}/{split}_gt.json.gz"
 _TC.TASK.SDTW.SUCCESS_DISTANCE = 3.0
 
+# TopDownMap (reference habitat_extensions/config/default.py:97-117; off by
+# default like robo_vln_task.yaml:36)
+_TC.TASK.TOP_DOWN_MAP = ConfigTree()
+_TC.TASK.TOP_DOWN_MAP.TYPE = "TopDownMap"
+_TC.TASK.TOP_DOWN_MAP.MAP_PADDING = 3
+_TC.TASK.TOP_DOWN_MAP.MAP_RESOLUTION = 1250
+_TC.TASK.TOP_DOWN_MAP.DRAW_SOURCE = True
+_TC.TASK.TOP_DOWN_MAP.DRAW_BORDER = True
+_TC.TASK.TOP_DOWN_MAP.DRAW_SHORTEST_PATH = True
+_TC.TASK.TOP_DOWN_MAP.DRAW_GOAL_POSITIONS = True
+
 _TC.TASK.SPL = ConfigTree()
 _TC.TASK.SPL.SUCCESS_DISTANCE = 3.0
 _TC.TASK.SUCCESS = ConfigTree()

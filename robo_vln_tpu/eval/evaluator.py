@@ -219,7 +219,9 @@ def _run_rollout(
             gt_locations = gt_json.get(str(ep.episode_id), {}).get(
                 "locations", list(ep.reference_path) + [ep.goals[0].position]
             )
-            stats = dict(info)
+            # the map is a frame payload, not a scalar metric (habitat pops it
+            # the same way before aggregation)
+            stats = {k: v for k, v in info.items() if k != "top_down_map"}
             stats["ndtw"] = ndtw(locations, gt_locations, sd)
             stats["actual_success"] = 1.0 if episode_success else 0.0
             stats_episodes[ep.episode_id] = stats

@@ -61,6 +61,23 @@ class MetricsWriter:
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
 
+    def add_video(self, tag: str, frames, step: int, fps: int = 10) -> None:
+        """Video from a list of HxWx3 uint8 frames (the reference's
+        add_video_from_np_images, used by the VIDEO_OPTION "tensorboard"
+        branch).  JSONL mirrors the metadata only."""
+        import numpy as np
+
+        self._jsonl.write(
+            json.dumps({"tag": tag, "video_frames": len(frames),
+                        "step": int(step), "ts": time.time()})
+            + "\n"
+        )
+        if self._tb is not None:
+            import torch
+
+            arr = np.stack(frames).transpose(0, 3, 1, 2)[None]  # (1,T,C,H,W)
+            self._tb.add_video(tag, torch.from_numpy(arr), step, fps=fps)
+
     def flush(self) -> None:
         self._jsonl.flush()
         if self._tb is not None:
