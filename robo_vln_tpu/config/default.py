@@ -80,6 +80,11 @@ _C.DAGGER.LMDB_COMMIT_FREQUENCY = 500
 _C.DAGGER.LMDB_STORE_FREQUENCY = 5
 _C.DAGGER.USE_IW = True
 _C.DAGGER.PRELOAD_LMDB_FEATURES = False
+# with PRELOAD=False: collect inside the DAgger loop then CONTINUE into
+# training (one-command workflow). COLLECT_ONLY=True reproduces the
+# reference's collect-then-stop (robo_vln_trainer.py:898-903 `break`) for the
+# data-collection yamls.
+_C.DAGGER.COLLECT_ONLY = False
 _C.DAGGER.LMDB_FEATURES_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
 _C.DAGGER.LMDB_EVAL_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
 _C.DAGGER.LOAD_FROM_CKPT = False

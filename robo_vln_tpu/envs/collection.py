@@ -43,7 +43,14 @@ def collect_dataset(config, features_dir: str, env=None,
         ) if vf else None
     own_env = env is None
     if env is None:
-        env = construct_env(config)
+        # collection runs on the collection split (reference switches
+        # DATASET.SPLIT to DAGGER.COLLECT_DATA_SPLIT, robo_vln_trainer.py:861-866)
+        ccfg = config.clone().defrost()
+        split = config.DAGGER.get("COLLECT_DATA_SPLIT", "") or \
+            config.TASK_CONFIG.DATASET.SPLIT
+        ccfg.TASK_CONFIG.DATASET.SPLIT = split
+        ccfg.freeze()
+        env = construct_env(ccfg)
 
     vel_control = VelocityControl()
     collected = 0

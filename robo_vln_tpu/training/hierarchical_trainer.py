@@ -200,7 +200,9 @@ class HierarchicalTrainer(BaseTrainer):
     def train(self) -> None:
         cfg = self.config
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
-        if not cfg.DAGGER.PRELOAD_LMDB_FEATURES:
+        collect = not cfg.DAGGER.PRELOAD_LMDB_FEATURES
+        if collect and cfg.DAGGER.COLLECT_ONLY:
+            # reference behavior: collect then stop (robo_vln_trainer.py:903)
             from robo_vln_tpu.envs.collection import collect_dataset
 
             collect_dataset(cfg, self.features_dir)
@@ -212,16 +214,24 @@ class HierarchicalTrainer(BaseTrainer):
             train_steps = 0
             val_steps = 0
             for dagger_it in range(cfg.DAGGER.ITERATIONS):
+                if collect:
+                    from robo_vln_tpu.envs.collection import collect_dataset
+
+                    collect_dataset(cfg, self.features_dir)
+                    logger.info(
+                        f"Data collection complete (iteration {dagger_it})"
+                    )
                 for epoch in range(cfg.DAGGER.EPOCHS):
                     t0 = time.time()
                     train_steps = self.train_epoch(
                         self._batches(self.features_dir, seed=epoch),
                         epoch, writer, train_steps,
                     )
-                    val_steps = self.val_epoch(
-                        self._batches(self.eval_dir, seed=epoch),
-                        epoch, writer, val_steps,
-                    )
+                    if os.path.exists(self.eval_dir):
+                        val_steps = self.val_epoch(
+                            self._batches(self.eval_dir, seed=epoch),
+                            epoch, writer, val_steps,
+                        )
                     logger.info(
                         f"epoch {epoch} done in {time.time() - t0:.1f}s"
                     )

@@ -238,8 +238,10 @@ class RoboVLNTrainer(BaseTrainer):
         cfg = self.config
         os.makedirs(os.path.dirname(self.features_dir) or ".", exist_ok=True)
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+        collect = not cfg.DAGGER.PRELOAD_LMDB_FEATURES
 
-        if not cfg.DAGGER.PRELOAD_LMDB_FEATURES:
+        if collect and cfg.DAGGER.COLLECT_ONLY:
+            # reference behavior: collect then stop (robo_vln_trainer.py:903)
             self._update_dataset(0)
             logger.info("Data collection complete")
             return
@@ -250,16 +252,22 @@ class RoboVLNTrainer(BaseTrainer):
             train_steps = 0
             val_steps = 0
             for dagger_it in range(cfg.DAGGER.ITERATIONS):
+                if collect:
+                    self._update_dataset(dagger_it)
+                    logger.info(
+                        f"Data collection complete (iteration {dagger_it})"
+                    )
                 for epoch in range(cfg.DAGGER.EPOCHS):
                     t0 = time.time()
                     train_steps = self.train_epoch(
                         self._batches(self.features_dir, seed=epoch),
                         epoch, writer, train_steps,
                     )
-                    val_steps = self.val_epoch(
-                        self._batches(self.eval_dir, seed=epoch),
-                        epoch, writer, val_steps,
-                    )
+                    if os.path.exists(self.eval_dir):
+                        val_steps = self.val_epoch(
+                            self._batches(self.eval_dir, seed=epoch),
+                            epoch, writer, val_steps,
+                        )
                     logger.info(
                         f"epoch {epoch} done in {time.time() - t0:.1f}s "
                         f"({train_steps} train steps)"

@@ -296,3 +296,60 @@ def test_remat_matches_no_remat(tmp_path, rng):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
         results[False][1], results[True][1],
     )
+
+
+def test_collect_then_train_one_run(tmp_path, rng):
+    """PRELOAD=False + COLLECT_ONLY=False: one train() call fills the buffer
+    from expert rollouts AND produces checkpoints (VERDICT.md missing#6)."""
+    from tests.test_envs import make_episode_json
+
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.DAGGER.PRELOAD_LMDB_FEATURES = False
+    cfg.DAGGER.COLLECT_ONLY = False
+    cfg.DAGGER.ITERATIONS = 1
+    cfg.DAGGER.UPDATE_SIZE = 3
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = make_episode_json(tmp_path, n_eps=3)
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 12
+    cfg.DAGGER.COLLECT_DATA_SPLIT = "train"
+    cfg.freeze()
+
+    from robo_vln_tpu.data.trajectory_store import TrajectoryStore
+    from robo_vln_tpu.training import checkpoint as ckpt_lib
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+
+    trainer = RoboVLNTrainer(cfg)
+    trainer.train()
+
+    with TrajectoryStore(cfg.DAGGER.LMDB_FEATURES_DIR) as store:
+        assert len(store) >= 1  # buffer filled by the same call
+    assert ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)  # and trained
+
+
+def test_collect_only_flag_stops_after_collection(tmp_path, rng):
+    """COLLECT_ONLY=True reproduces the reference's collect-then-stop."""
+    from tests.test_envs import make_episode_json
+
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.DAGGER.PRELOAD_LMDB_FEATURES = False
+    cfg.DAGGER.COLLECT_ONLY = True
+    cfg.DAGGER.UPDATE_SIZE = 2
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = make_episode_json(tmp_path, n_eps=2)
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 10
+    cfg.DAGGER.COLLECT_DATA_SPLIT = "train"
+    cfg.freeze()
+
+    from robo_vln_tpu.data.trajectory_store import TrajectoryStore
+    from robo_vln_tpu.training import checkpoint as ckpt_lib
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+
+    trainer = RoboVLNTrainer(cfg)
+    trainer.train()
+    with TrajectoryStore(cfg.DAGGER.LMDB_FEATURES_DIR) as store:
+        assert len(store) >= 1
+    assert not ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
