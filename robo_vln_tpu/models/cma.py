@@ -76,17 +76,32 @@ class CMAPolicy(nn.Module):
         )
         H = mc.STATE_ENCODER.hidden_size
         self._H = H
-        self.state_encoder = RNNStateEncoder(
-            hidden_size=H, rnn_type=mc.STATE_ENCODER.rnn_type, name="state_encoder"
-        )
+        self._rcm = bool(mc.CMA.rcm_state_encoder)
+        if self._rcm:
+            # reference swaps the 1st RNN for the RCM recurrent-attention
+            # encoder (cma.py:76-82); rgb/depth_linear are not built there
+            from robo_vln_tpu.models.rcm import RCMStateEncoder
+
+            self.state_encoder = RCMStateEncoder(
+                hidden_size=H, rnn_type="GRU", name="state_encoder"
+            )
+        else:
+            self.state_encoder = RNNStateEncoder(
+                hidden_size=H, rnn_type=mc.STATE_ENCODER.rnn_type,
+                name="state_encoder",
+            )
+            self.rgb_linear = nn.Dense(
+                mc.RGB_ENCODER.output_size, name="rgb_linear"
+            )
+            self.depth_linear = nn.Dense(
+                mc.DEPTH_ENCODER.output_size, name="depth_linear"
+            )
         self.second_state_encoder = RNNStateEncoder(
             hidden_size=H, rnn_type=mc.STATE_ENCODER.rnn_type,
             name="second_state_encoder",
         )
         if mc.CMA.use_prev_action:
             self.prev_action_embedding = nn.Embed(self.num_actions + 1, 32)
-        self.rgb_linear = nn.Dense(mc.RGB_ENCODER.output_size, name="rgb_linear")
-        self.depth_linear = nn.Dense(mc.DEPTH_ENCODER.output_size, name="depth_linear")
         self.rgb_kv = nn.Dense(H // 2 + mc.RGB_ENCODER.output_size, name="rgb_kv")
         self.depth_kv = nn.Dense(H // 2 + mc.DEPTH_ENCODER.output_size, name="depth_kv")
         self.state_q = nn.Dense(H // 2, name="state_q")
@@ -99,10 +114,15 @@ class CMAPolicy(nn.Module):
 
     @property
     def num_recurrent_layers(self):
-        return 4  # two LSTM state encoders, packed [h1,c1,h2,c2]
+        # non-RCM: two LSTM encoders packed [h1,c1,h2,c2];
+        # RCM: GRU h (1) + last-output slot (1) + second LSTM (2) — also 4
+        return 4
 
     def initial_hidden(self, batch_size: int) -> jnp.ndarray:
-        return jnp.zeros((4, batch_size, self.model_config.STATE_ENCODER.hidden_size), jnp.float32)
+        return jnp.zeros(
+            (self.num_recurrent_layers, batch_size,
+             self.model_config.STATE_ENCODER.hidden_size), jnp.float32,
+        )
 
     def __call__(
         self,
@@ -142,26 +162,43 @@ class CMAPolicy(nn.Module):
         if mc.ablate_rgb:
             rgb_tokens = rgb_tokens * 0
 
-        rgb_in = nn.relu(self.rgb_linear(jnp.mean(rgb_tokens, axis=1)))
-        depth_flat = jnp.swapaxes(depth_tokens, 1, 2).reshape(n, -1)  # (N, C*S)
-        depth_in = nn.relu(self.depth_linear(depth_flat))
-
         masks_tm = jnp.swapaxes(masks, 0, 1)  # (T, B)
         if mc.CMA.use_prev_action:
             pa = ((prev_actions.astype(jnp.float32) + 1) * masks[..., None]).astype(
                 jnp.int32
             )[..., 0].reshape(n)
             pa_emb = self.prev_action_embedding(pa)
-            state_in = jnp.concatenate(
-                [rgb_in, depth_in, pa_emb], axis=1
-            ).reshape(b, t, -1)
-        else:
-            state_in = jnp.concatenate([rgb_in, depth_in], axis=1).reshape(b, t, -1)
 
-        state_seq, hid1 = self.state_encoder(
-            jnp.swapaxes(state_in, 0, 1), hidden[0:2], masks_tm
-        )
-        state = jnp.swapaxes(state_seq, 0, 1).reshape(n, -1)
+        if self._rcm:
+            # recurrent cross-modal attention over raw visual tokens
+            # (reference cma.py:243-252); prev-action input is the embedding
+            # when use_prev_action else the raw velocities
+            pa_in = pa_emb if mc.CMA.use_prev_action else prev_actions.reshape(n, -1)
+            rgb_tm = jnp.swapaxes(rgb_tokens.reshape(b, t, *rgb_tokens.shape[1:]), 0, 1)
+            depth_tm = jnp.swapaxes(
+                depth_tokens.reshape(b, t, *depth_tokens.shape[1:]), 0, 1
+            )
+            pa_tm = jnp.swapaxes(pa_in.reshape(b, t, -1), 0, 1)
+            state_seq, hid1 = self.state_encoder(
+                rgb_tm, depth_tm, pa_tm, hidden[0:2], masks_tm
+            )
+            state = jnp.swapaxes(state_seq, 0, 1).reshape(n, -1)
+        else:
+            rgb_in = nn.relu(self.rgb_linear(jnp.mean(rgb_tokens, axis=1)))
+            depth_flat = jnp.swapaxes(depth_tokens, 1, 2).reshape(n, -1)  # (N, C*S)
+            depth_in = nn.relu(self.depth_linear(depth_flat))
+            if mc.CMA.use_prev_action:
+                state_in = jnp.concatenate(
+                    [rgb_in, depth_in, pa_emb], axis=1
+                ).reshape(b, t, -1)
+            else:
+                state_in = jnp.concatenate(
+                    [rgb_in, depth_in], axis=1
+                ).reshape(b, t, -1)
+            state_seq, hid1 = self.state_encoder(
+                jnp.swapaxes(state_in, 0, 1), hidden[0:2], masks_tm
+            )
+            state = jnp.swapaxes(state_seq, 0, 1).reshape(n, -1)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(self._H // 2, jnp.float32))
         ins_tb = jnp.broadcast_to(

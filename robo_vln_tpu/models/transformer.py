@@ -343,3 +343,60 @@ class PositionEmbedding2DLearned(nn.Module):
         y_emb = jnp.broadcast_to(row[:h, None], (h, w, self.num_pos_feats))
         pos = jnp.concatenate([x_emb, y_emb], axis=-1)
         return jnp.broadcast_to(pos[None], (batch, h, w, 2 * self.num_pos_feats))
+
+
+class ImageEncoderWithPosEncodings(nn.Module):
+    """Dropout -> LN input stage + N DecoderLayers with a positional embedding
+    added to the queries (reference ImageEncoder_with_PosEncodings,
+    transformer.py:305-326).  The reference also constructs an `fc` projection
+    whose forward use is commented out (:316) — dead weight not reproduced."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    n_layers: int
+    d_in: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, enc_output, self_att_mask=None, enc_att_mask=None,
+                 pos_embed=None, deterministic=True):
+        out = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            out.astype(jnp.float32)
+        )
+        for i in range(self.n_layers):
+            out = DecoderLayer(
+                self.d_model, self.h, self.d_ff, self.dropout,
+                compute_dtype=self.compute_dtype, name=f"layers_{i}",
+            )(out, enc_output, self_att_mask, enc_att_mask, pos_embed,
+              deterministic=deterministic)
+        return out
+
+
+class ImagePlainEncoder(nn.Module):
+    """Linear->ReLU->Dropout->LN input stage + N self-attention layers
+    (reference ImagePlainEncoder, transformer.py:328-342; its __init__ passes
+    BaseEncoder the wrong arguments and is uninstantiable as shipped — this
+    implements the intended semantics)."""
+
+    d_model: int
+    h: int
+    d_ff: int
+    n_layers: int
+    d_in: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask=None, deterministic=True):
+        out = nn.relu(nn.Dense(self.d_model, name="fc", dtype=self.compute_dtype)(x))
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            out.astype(jnp.float32)
+        )
+        return BaseEncoder(
+            self.d_model, self.h, self.d_ff, self.n_layers, self.dropout,
+            self.compute_dtype, name="encoder",
+        )(out, attention_mask, deterministic)

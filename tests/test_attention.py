@@ -92,3 +92,73 @@ def test_sinusoid_table():
 
     got = sinusoid_encoding_table(L, D)
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-6)
+
+
+def test_rcm_wired_into_cma(rng):
+    """MODEL.CMA.rcm_state_encoder=True swaps the 1st RNN for the recurrent
+    cross-modal RCM encoder (reference cma.py:76-82,243-252) — the flag must
+    change behavior, not be silently ignored (VERDICT.md weak#5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_policies import tiny_model_config, tiny_obs
+    from robo_vln_tpu.models.cma import CMAPolicy
+
+    mc = tiny_model_config()
+    mc.DEPTH_ENCODER.output_size = 8
+    mc.RGB_ENCODER.output_size = 16
+    mc.STATE_ENCODER.hidden_size = 32
+    mc.CMA.rcm_state_encoder = True
+    mc.CMA.use_prev_action = True
+    policy = CMAPolicy(model_config=mc)
+
+    obs = tiny_obs(rng, t=3, b=2)
+    masks = jnp.ones((2, 3)).at[:, 0].set(0.0)
+    prev = jnp.zeros((2, 3, 2))
+    variables = policy.init(
+        jax.random.PRNGKey(0), obs, policy.initial_hidden(2), prev, masks
+    )
+    # RCM param structure present (q_net + gru weights), rgb_linear absent
+    assert "q_net_kernel" in variables["params"]["state_encoder"]
+    assert "rgb_linear" not in variables["params"]
+
+    actions, stop, hidden, _ = policy.apply(
+        variables, obs, policy.initial_hidden(2), prev, masks
+    )
+    assert actions.shape == (2, 3, 2)
+    assert hidden.shape == (4, 2, 32)
+    assert np.isfinite(np.asarray(actions)).all()
+
+
+def test_image_encoder_blocks(rng):
+    """The last two transformer blocks of the reference inventory
+    (transformer.py:305-343)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robo_vln_tpu.models.transformer import (
+        ImageEncoderWithPosEncodings,
+        ImagePlainEncoder,
+        PositionEmbedding2DLearned,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 32)), jnp.float32)
+    enc_out = jnp.asarray(rng.standard_normal((2, 10, 32)), jnp.float32)
+
+    pe_mod = PositionEmbedding2DLearned(num_pos_feats=16, max_size=8)
+    pe, pe_vars = pe_mod.init_with_output(jax.random.PRNGKey(0), (4, 4), 2)
+    pe = pe.reshape(2, 16, 32)
+
+    m = ImageEncoderWithPosEncodings(d_model=32, h=2, d_ff=64, n_layers=1, d_in=32)
+    out, _ = m.init_with_output(
+        jax.random.PRNGKey(1), x, enc_out, pos_embed=pe
+    )
+    assert out.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    p = ImagePlainEncoder(d_model=32, h=2, d_ff=64, n_layers=2, d_in=32)
+    out2, _ = p.init_with_output(jax.random.PRNGKey(2), x)
+    assert out2.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(out2)).all()
