@@ -136,6 +136,7 @@ def _run_rollout(
     init_state: Callable,  # () -> recurrent-state pytree
     tokenizer,
     is_bert: bool,
+    on_episode_end: Callable = None,  # (episode) -> None, after stats recorded
 ) -> Dict[str, float]:
     """Shared closed-loop rollout: policy tick / sim tick alternation with
     device-host overlap, per-episode stats, videos, aggregation."""
@@ -236,6 +237,8 @@ def _run_rollout(
                     fps=int(1.0 / config.DAGGER.time_step),
                 )
                 rgb_frames = []
+            if on_episode_end is not None:
+                on_episode_end(ep)
             locations = []
             steps = 0
             observations = pool.reset()[0]
@@ -298,25 +301,84 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
     high_b = _bind(high, trainer._high_extra)
     low_b = _bind(low, trainer._low_extra)
 
+    # PLOT_ATTENTION (reference config/default.py:27; its own plotting code is
+    # broken dead code, hierarchical_trainer.py:1178-1191): sow the
+    # cross-modal attention weights and write a per-episode instruction-token
+    # salience heatmap PNG under VIDEO_DIR/attention/.
+    plot_attention = bool(config.PLOT_ATTENTION)
+    if plot_attention:
+        from robo_vln_tpu.ops import cm_attention
+
+        cm_attention.set_sow_attention(True)
+    att_buf = []
+
     @jax.jit
     def step_fn(hp, lp, obs, hh, lh, prev, mask):
-        logits, hh = high_b.apply({"params": hp}, obs, hh, prev, mask)
+        if plot_attention:
+            (logits, hh), inter = high_b.apply(
+                {"params": hp}, obs, hh, prev, mask,
+                mutable=["intermediates"],
+            )
+            weights = jax.tree.leaves(inter["intermediates"])
+            # mean over (heads, visual tokens) of every sown map -> (N, L)
+            salience = sum(jnp.mean(w, axis=(1, 3)) for w in weights) / len(
+                weights
+            )
+        else:
+            logits, hh = high_b.apply({"params": hp}, obs, hh, prev, mask)
+            salience = jnp.zeros((1, 1))
         pred = jnp.argmax(logits, axis=-1)
         actions, stop, lh = low_b.apply(
             {"params": lp}, obs, lh, prev, mask, pred
         )
-        return actions, stop, hh, lh
+        return actions, stop, hh, lh, salience
 
     def policy_step(obs, state, prev, mask):
         hh, lh = state
-        actions, stop, hh, lh = step_fn(
+        actions, stop, hh, lh, salience = step_fn(
             trainer.state.high.params, trainer.state.low.params,
             obs, hh, lh, prev, mask,
         )
+        if plot_attention:
+            att_buf.append(np.asarray(salience)[0])
         return actions, stop, (hh, lh)
 
-    return _run_rollout(
-        config, env, writer, checkpoint_index, policy_step,
-        lambda: (high.initial_hidden(1), low.initial_hidden(1)),
-        _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
+    def on_episode_end(ep):
+        if not plot_attention or not att_buf:
+            return
+        _save_attention_plot(
+            np.stack(att_buf), ep, config.VIDEO_DIR, checkpoint_index
+        )
+        att_buf.clear()
+
+    try:
+        return _run_rollout(
+            config, env, writer, checkpoint_index, policy_step,
+            lambda: (high.initial_hidden(1), low.initial_hidden(1)),
+            _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
+            on_episode_end=on_episode_end,
+        )
+    finally:
+        if plot_attention:
+            from robo_vln_tpu.ops import cm_attention
+
+            cm_attention.set_sow_attention(False)
+
+
+def _save_attention_plot(salience, episode, video_dir: str,
+                         checkpoint_index: int) -> str:
+    """(T, L) instruction-token salience -> colorized heatmap PNG."""
+    import cv2
+
+    out_dir = os.path.join(video_dir or "videos", "attention")
+    os.makedirs(out_dir, exist_ok=True)
+    s = salience - salience.min()
+    s = s / max(float(s.max()), 1e-8)
+    img = cv2.applyColorMap((s * 255).astype(np.uint8), cv2.COLORMAP_VIRIDIS)
+    scale = max(1, 256 // max(img.shape[0], img.shape[1]))
+    img = np.kron(img, np.ones((scale, scale, 1), np.uint8))
+    path = os.path.join(
+        out_dir, f"attention_ep{episode.episode_id}_ckpt{checkpoint_index}.png"
     )
+    cv2.imwrite(path, img)
+    return path

@@ -28,6 +28,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from robo_vln_tpu.ops import cm_attention
 from robo_vln_tpu.ops.cm_attention import attention_core
 
 
@@ -57,7 +58,13 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(self.h * d_k, name="fc_q", dtype=self.compute_dtype)(queries)
         k = nn.Dense(self.h * d_k, name="fc_k", dtype=self.compute_dtype)(keys)
         v = nn.Dense(self.h * d_k, name="fc_v", dtype=self.compute_dtype)(values)
-        out = attention_core(q, k, v, self.h, attention_mask)
+        if cm_attention.sow_attention():
+            out, weights = attention_core(
+                q, k, v, self.h, attention_mask, return_weights=True
+            )
+            self.sow("intermediates", "attn", weights)
+        else:
+            out = attention_core(q, k, v, self.h, attention_mask)
         out = nn.Dense(self.d_model, name="fc_o", dtype=self.compute_dtype)(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(

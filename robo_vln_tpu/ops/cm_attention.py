@@ -24,10 +24,11 @@ import jax.numpy as jnp
 
 _NEG_INF = -1e30
 
-# process-global gate, set from config TPU.USE_PALLAS by the trainers /
-# benchmarks (flax module attrs would force replumbing every policy builder
-# for what is a pure execution-backend choice)
+# process-global gates, set from config by the trainers / evaluators (flax
+# module attrs would force replumbing every policy builder for what are pure
+# execution choices)
 _USE_PALLAS = False
+_SOW_ATTENTION = False
 
 
 def set_use_pallas(enabled: bool) -> None:
@@ -39,19 +40,34 @@ def use_pallas() -> bool:
     return _USE_PALLAS
 
 
+def set_sow_attention(enabled: bool) -> None:
+    """PLOT_ATTENTION support: make MultiHeadAttention sow its softmax weights
+    into the "intermediates" collection (read by the eval attention plots)."""
+    global _SOW_ATTENTION
+    _SOW_ATTENTION = bool(enabled)
+
+
+def sow_attention() -> bool:
+    return _SOW_ATTENTION
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_heads: int,
     attention_mask: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Dispatch: fused pallas kernel (TPU, unmasked, aligned, enabled) or XLA."""
-    if _USE_PALLAS and attention_mask is None:
+    return_weights: bool = False,
+):
+    """Dispatch: fused pallas kernel (TPU, unmasked, aligned, enabled) or XLA.
+    return_weights forces the XLA path (the kernel keeps weights in VMEM)."""
+    if _USE_PALLAS and attention_mask is None and not return_weights:
         from robo_vln_tpu.ops.pallas_attention import fused_cross_modal_attention
 
         return fused_cross_modal_attention(q, k, v, num_heads)
-    return mha_attention(q, k, v, num_heads, attention_mask)
+    return mha_attention(
+        q, k, v, num_heads, attention_mask, return_weights=return_weights
+    )
 
 
 def mha_attention(
@@ -61,8 +77,10 @@ def mha_attention(
     num_heads: int,
     attention_mask: Optional[jnp.ndarray] = None,  # bool, True = masked;
     # broadcastable to (B, h, Lq, Lk)
-) -> jnp.ndarray:
-    """Returns (B, Lq, h*dv). Softmax in float32."""
+    return_weights: bool = False,
+):
+    """Returns (B, Lq, h*dv), or (out, weights (B, h, Lq, Lk)) when
+    return_weights. Softmax in float32."""
     B, Lq, _ = q.shape
     Lk = k.shape[1]
     dk = q.shape[-1] // num_heads
@@ -81,7 +99,10 @@ def mha_attention(
     if attention_mask is not None:
         att = jnp.where(attention_mask, 0.0, att)
     out = jnp.einsum("bhqk,bhkd->bhqd", att.astype(vh.dtype), vh)
-    return out.transpose(0, 2, 1, 3).reshape(B, Lq, num_heads * dv)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lq, num_heads * dv)
+    if return_weights:
+        return out, att
+    return out
 
 
 def single_query_attention(

@@ -25,6 +25,14 @@ if not os.environ.get("ROBO_VLN_TEST_TPU"):
     # when JAX_PLATFORMS=cpu is set; pin the config flag directly.
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: this host has ONE cpu core, so compiles
+# dominate the suite; with the cache warm, repeat runs (the per-commit and
+# per-round invocations) skip them entirely.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -116,7 +116,7 @@ def test_rcm_wired_into_cma(rng):
     obs = tiny_obs(rng, t=3, b=2)
     masks = jnp.ones((2, 3)).at[:, 0].set(0.0)
     prev = jnp.zeros((2, 3, 2))
-    variables = policy.init(
+    variables = jax.jit(policy.init)(
         jax.random.PRNGKey(0), obs, policy.initial_hidden(2), prev, masks
     )
     # RCM param structure present (q_net + gru weights), rgb_linear absent

@@ -45,7 +45,9 @@ def test_flat_eval_checkpoint(tmp_path, rng):
 
 
 def test_hierarchical_eval_checkpoint(tmp_path, rng):
-    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=2)
+    cfg = tiny_config(
+        tmp_path, trainer="hierarchical_trainer", batch_size=2, hw=32
+    )
     cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
     data_path = make_episode_json(tmp_path, n_eps=2)
     cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
@@ -54,6 +56,8 @@ def test_hierarchical_eval_checkpoint(tmp_path, rng):
     cfg.EVAL.SPLIT = "train"
     cfg.EVAL.EPISODE_COUNT = 1
     cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.PLOT_ATTENTION = True  # per-episode attention heatmap PNGs
+    cfg.VIDEO_DIR = str(tmp_path / "videos")
     cfg.freeze()
 
     from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
@@ -66,6 +70,10 @@ def test_hierarchical_eval_checkpoint(tmp_path, rng):
         stats = eval_hierarchical_checkpoint(trainer, "", writer, 0)
     assert "ndtw" in stats
     assert "actual_success" in stats
+    att_dir = os.path.join(cfg.VIDEO_DIR, "attention")
+    assert os.path.isdir(att_dir) and any(
+        f.endswith(".png") for f in os.listdir(att_dir)
+    ), "PLOT_ATTENTION must write per-episode heatmaps"
 
 
 def test_cyclic_lr_matches_torch():

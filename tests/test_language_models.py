@@ -54,7 +54,7 @@ def test_seq2seq_bert_language_path(rng):
     obs = tiny_obs(rng, t, b)
     masks = jnp.ones((b, t))
     hidden = policy.initial_hidden(b)
-    params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
+    params = jax.jit(policy.init)(jax.random.PRNGKey(0), obs, hidden, None, masks)
     assert "embedding_layer" in params["params"]["instruction_encoder"]
     actions, stop, hid, _ = policy.apply(params, obs, hidden, None, masks)
     assert actions.shape == (b, t, 2)
@@ -69,7 +69,7 @@ def test_high_level_seq2seq_variant(rng):
     obs = tiny_obs(rng, t, b)
     masks = jnp.ones((b, t)).at[:, 0].set(0.0)
     hidden = policy.initial_hidden(b)
-    params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
+    params = jax.jit(policy.init)(jax.random.PRNGKey(0), obs, hidden, None, masks)
     logits, hid = policy.apply(params, obs, hidden, None, masks)
     assert logits.shape == (b, t, 4)
     # single-step mode

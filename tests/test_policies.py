@@ -20,6 +20,19 @@ from robo_vln_tpu.models import (
 def tiny_model_config(**overrides):
     cfg = get_config().clone().defrost()
     mc = cfg.MODEL
+    # reduced ResNet stage depths + small widths: same code paths, much
+    # faster single-core compile (this host has ONE cpu)
+    mc.DEPTH_ENCODER.blocks = [1, 1, 1, 1]
+    mc.RGB_ENCODER.blocks = [1, 1, 1, 1]
+    mc.DEPTH_ENCODER.output_size = 8
+    mc.RGB_ENCODER.output_size = 16
+    mc.STATE_ENCODER.hidden_size = 32
+    mc.INSTRUCTION_ENCODER.embedding_size = 8
+    mc.INSTRUCTION_ENCODER.hidden_size = 12
+    mc.VISUAL_LING_ATTN.d_model = 16
+    mc.VISUAL_LING_ATTN.d_ff = 32
+    mc.VISUAL_LING_ATTN.h = 2
+    mc.VISUAL_LING_ATTN.vis_in_features = 16
     mc.BERT.num_layers = 2
     mc.BERT.hidden_size = 32
     mc.BERT.num_heads = 2
@@ -67,7 +80,7 @@ def test_seq2seq_policy_shapes(rng):
     obs = tiny_obs(rng, t, b)
     masks = jnp.ones((b, t)).at[:, 0].set(0.0)
     hidden = policy.initial_hidden(b)
-    params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
+    params = jax.jit(policy.init)(jax.random.PRNGKey(0), obs, hidden, None, masks)
 
     actions, stop, hid, aux = policy.apply(params, obs, hidden, None, masks)
     assert actions.shape == (b, t, 2)
@@ -92,7 +105,7 @@ def test_seq2seq_progress_monitor_aux(rng):
     obs = tiny_obs(rng, t, b)
     masks = jnp.ones((b, t))
     hidden = policy.initial_hidden(b)
-    params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
+    params = jax.jit(policy.init)(jax.random.PRNGKey(0), obs, hidden, None, masks)
     _, _, _, aux = policy.apply(params, obs, hidden, None, masks)
     assert aux["progress_hat"].shape == (b, t)
 
@@ -107,13 +120,13 @@ def test_cma_policy_shapes_and_grads(rng):
     obs = tiny_obs(rng, t, b, rgb_hw=64, depth_hw=64)
     masks = jnp.ones((b, t)).at[:, 0].set(0.0)
     hidden = policy.initial_hidden(b)
-    params = policy.init(jax.random.PRNGKey(0), obs, hidden, None, masks)
+    params = jax.jit(policy.init)(jax.random.PRNGKey(0), obs, hidden, None, masks)
 
     def loss_fn(p):
         actions, stop, hid, _ = policy.apply(p, obs, hidden, None, masks)
         return jnp.sum(actions**2) + jnp.sum(stop**2)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert np.isfinite(float(loss))
     # frozen visual encoders receive zero grads (stop_gradient)
     g = grads["params"]
@@ -137,13 +150,13 @@ def test_hierarchical_policies(rng):
     masks = jnp.ones((b, t)).at[:, 0].set(0.0)
 
     hh = high.initial_hidden(b)
-    hp = high.init(jax.random.PRNGKey(0), obs, hh, None, masks)
+    hp = jax.jit(high.init)(jax.random.PRNGKey(0), obs, hh, None, masks)
     logits, hh2 = high.apply(hp, obs, hh, None, masks)
     assert logits.shape == (b, t, 4)
 
     lh = low.initial_hidden(b)
     disc = jnp.asarray(rng.integers(0, 5, (b, t)), jnp.int32)
-    lp = low.init(jax.random.PRNGKey(1), obs, lh, None, masks, disc)
+    lp = jax.jit(low.init)(jax.random.PRNGKey(1), obs, lh, None, masks, disc)
     acts, stop, lh2 = low.apply(lp, obs, lh, None, masks, disc)
     assert acts.shape == (b, t, 2)
     assert stop.shape == (b, t, 1)

@@ -15,8 +15,9 @@ from robo_vln_tpu.data.loader import write_episode
 from robo_vln_tpu.data.trajectory_store import TrajectoryStore
 
 
-def tiny_config(tmp_path, trainer="robo_vln_trainer", batch_size=1):
-    """batch_size is PER-DEVICE (global = 8x on the virtual mesh)."""
+def tiny_config(tmp_path, trainer="robo_vln_trainer", batch_size=1, hw=64):
+    """batch_size is PER-DEVICE (global = 8x on the virtual mesh).
+    hw: sensor size — SimpleCNN needs >=36px; the resnet paths run at 32."""
     cfg = get_config().clone().defrost()
     cfg.TRAINER_NAME = trainer
     cfg.DAGGER.BATCH_SIZE = batch_size
@@ -30,11 +31,14 @@ def tiny_config(tmp_path, trainer="robo_vln_trainer", batch_size=1):
     cfg.CHECKPOINT_FOLDER = str(tmp_path / "ckpts")
     cfg.TENSORBOARD_DIR = str(tmp_path / "tb")
     # tiny shapes
-    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 64
-    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = 64
-    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH = 64
-    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT = 64
+    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = hw
+    cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT = hw
+    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH = hw
+    cfg.TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT = hw
     mc = cfg.MODEL
+    # reduced ResNet stage depths: same code path, ~4x faster CPU compile/run
+    mc.DEPTH_ENCODER.blocks = [1, 1, 1, 1]
+    mc.RGB_ENCODER.blocks = [1, 1, 1, 1]
     mc.INSTRUCTION_ENCODER.vocab_size = 60
     mc.INSTRUCTION_ENCODER.use_pretrained_embeddings = False
     mc.STATE_ENCODER.hidden_size = 32
@@ -139,12 +143,15 @@ def test_flat_trainer_params_update_and_frozen(tmp_path, rng):
     assert not np.allclose(p1["linear"]["kernel"], p0["linear"]["kernel"])
 
 
+@pytest.mark.slow  # duplicate of the driver's dryrun_multichip gate + hier eval test
 def test_hierarchical_trainer_end_to_end(tmp_path, rng):
-    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=1)
+    cfg = tiny_config(
+        tmp_path, trainer="hierarchical_trainer", batch_size=1, hw=32
+    )
     cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
     cfg.freeze()
-    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=8)
-    fill_buffer(cfg.DAGGER.LMDB_EVAL_DIR, rng, n_eps=4)
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=8, hw=32)
+    fill_buffer(cfg.DAGGER.LMDB_EVAL_DIR, rng, n_eps=4, hw=32)
 
     from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
 
