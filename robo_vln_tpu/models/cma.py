@@ -130,6 +130,7 @@ class CMAPolicy(nn.Module):
         hidden: jnp.ndarray,  # (4, B, H)
         prev_actions: Optional[jnp.ndarray],
         masks: jnp.ndarray,  # (B, T) or (B,)
+        deterministic: bool = True,  # no dropout in CMANet; uniform step API
     ):
         mc = self.model_config
         single = observations["rgb"].ndim == 4

@@ -26,6 +26,7 @@ class LanguageEncoder(nn.Module):
     rnn_type: str = "LSTM"
     final_state_only: bool = True
     bidirectional: bool = False
+    dropout_ratio: float = 0.25  # reference language_encoder.py:33-34
     compute_dtype: Any = jnp.float32
 
     @property
@@ -33,7 +34,7 @@ class LanguageEncoder(nn.Module):
         return self.hidden_size * (2 if self.bidirectional else 1)
 
     @nn.compact
-    def __call__(self, instruction: jnp.ndarray):
+    def __call__(self, instruction: jnp.ndarray, deterministic: bool = True):
         bc = self.bert_config
         embedded = jax.lax.stop_gradient(
             BertEncoder(
@@ -46,6 +47,10 @@ class LanguageEncoder(nn.Module):
                 compute_dtype=self.compute_dtype,
                 name="embedding_layer",
             )(instruction)
+        )
+        # embedding dropout, active in training (language_encoder.py:119)
+        embedded = nn.Dropout(self.dropout_ratio)(
+            embedded, deterministic=deterministic
         )
         lengths = jnp.sum(instruction != 0, axis=1)
 

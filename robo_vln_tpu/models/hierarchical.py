@@ -207,6 +207,7 @@ class LowLevelPolicy(nn.Module):
         prev_actions: Optional[jnp.ndarray],
         masks: jnp.ndarray,
         discrete_actions: jnp.ndarray,  # (B, T) or (B,) sub-task ids, 4 = pad
+        deterministic: bool = True,  # no dropout in the low level; uniform API
     ):
         mc = self.model_config
         single = observations["rgb"].ndim == 4

@@ -31,7 +31,9 @@ class HighLevelSeq2SeqPolicy(nn.Module):
         mc = self.model_config
         ic = mc.INSTRUCTION_ENCODER
         if ic.is_bert:
+            self._uses_language_encoder = True
             self.instruction_encoder = LanguageEncoder(
+                dropout_ratio=mc.INSTRUCTION_ENCODER.dropout_ratio,
                 bert_config=mc.BERT,
                 hidden_size=ic.hidden_size,
                 rnn_type=ic.rnn_type,
@@ -40,6 +42,7 @@ class HighLevelSeq2SeqPolicy(nn.Module):
                 compute_dtype=self.compute_dtype,
             )
         else:
+            self._uses_language_encoder = False
             self.instruction_encoder = InstructionEncoder(
                 vocab_size=ic.vocab_size,
                 embedding_size=ic.embedding_size,
@@ -77,7 +80,7 @@ class HighLevelSeq2SeqPolicy(nn.Module):
         )
 
     def __call__(self, observations: Dict[str, jnp.ndarray], hidden,
-                 prev_actions, masks):
+                 prev_actions, masks, deterministic: bool = True):
         mc = self.model_config
         single = observations["rgb"].ndim == 4
         if single:
@@ -92,7 +95,12 @@ class HighLevelSeq2SeqPolicy(nn.Module):
         rgb = observations["rgb"].reshape((n,) + observations["rgb"].shape[2:])
         depth = observations["depth"].reshape((n,) + observations["depth"].shape[2:])
 
-        ins = self.instruction_encoder(observations["instruction"])  # (B, Hi)
+        if self._uses_language_encoder:
+            ins = self.instruction_encoder(
+                observations["instruction"], deterministic=deterministic
+            )  # (B, Hi)
+        else:
+            ins = self.instruction_encoder(observations["instruction"])
         depth_emb = self.depth_encoder({"depth": depth})
         rgb_emb = self.rgb_encoder({"rgb": rgb})
         if mc.ablate_instruction:

@@ -48,7 +48,9 @@ class Seq2SeqPolicy(nn.Module):
             # BERT-embedding LanguageEncoder path (seq2seq.py:45-46)
             from robo_vln_tpu.models.encoders.language import LanguageEncoder
 
+            self._uses_language_encoder = True
             self.instruction_encoder = LanguageEncoder(
+                dropout_ratio=mc.INSTRUCTION_ENCODER.dropout_ratio,
                 bert_config=mc.BERT,
                 hidden_size=ic.hidden_size,
                 rnn_type=ic.rnn_type,
@@ -57,6 +59,7 @@ class Seq2SeqPolicy(nn.Module):
                 compute_dtype=self.compute_dtype,
             )
         else:
+            self._uses_language_encoder = False
             self.instruction_encoder = InstructionEncoder(
                 vocab_size=ic.vocab_size,
                 embedding_size=ic.embedding_size,
@@ -122,6 +125,7 @@ class Seq2SeqPolicy(nn.Module):
         hidden: jnp.ndarray,  # (layers, B, H)
         prev_actions: Optional[jnp.ndarray],  # (B, T, 2) or (B, 2)
         masks: jnp.ndarray,  # (B, T) or (B,) not-done masks
+        deterministic: bool = True,
     ):
         mc = self.model_config
         single = observations["rgb"].ndim == 4
@@ -137,9 +141,14 @@ class Seq2SeqPolicy(nn.Module):
         rgb, b, t = _flatten_time(observations["rgb"])
         depth, _, _ = _flatten_time(observations["depth"])
 
-        instruction_embedding = self.instruction_encoder(
-            observations["instruction"]
-        )  # (B, Hi)
+        if self._uses_language_encoder:
+            instruction_embedding = self.instruction_encoder(
+                observations["instruction"], deterministic=deterministic
+            )  # (B, Hi)
+        else:
+            instruction_embedding = self.instruction_encoder(
+                observations["instruction"]
+            )  # (B, Hi)
         depth_embedding = self.depth_encoder({"depth": depth})
         rgb_embedding = self.rgb_encoder({"rgb": rgb})
 

@@ -38,8 +38,8 @@ class HierTrainState(NamedTuple):
     low: TrainState
 
 
-def _flat_losses(policy, params, batch, hidden, *, progress_alpha,
-                 use_progress):
+def _flat_losses(policy, params, batch, hidden, dropout_rng=None, *,
+                 progress_alpha, use_progress):
     obs = {
         k: batch[k]
         for k in batch
@@ -48,9 +48,13 @@ def _flat_losses(policy, params, batch, hidden, *, progress_alpha,
             "not_done_masks", "valid_mask",
         )
     }
+    kwargs = {}
+    if dropout_rng is not None:  # training: dropout active (reference trains
+        # with nn.Dropout live; eval/val stay deterministic)
+        kwargs = {"deterministic": False, "rngs": {"dropout": dropout_rng}}
     actions, stop, new_hidden, aux = policy.apply(
         {"params": params}, obs, hidden, batch["prev_actions"],
-        batch["not_done_masks"],
+        batch["not_done_masks"], **kwargs,
     )
     corrected = batch["corrected_actions"].reshape(-1, 2)
     action_loss = losses.masked_velocity_mse(actions.reshape(-1, 2), corrected)
@@ -85,8 +89,10 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
         losses_fn = jax.checkpoint(losses_fn)
 
     def step_fn(state: TrainState, hidden, batch, lr):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def loss_fn(params):
-            a, s, x, new_hidden = losses_fn(params, batch, hidden)
+            a, s, x, new_hidden = losses_fn(params, batch, hidden, dropout_rng)
             return a + s + x, (a, s, x, new_hidden)
 
         grads, (a, s, x, new_hidden) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -125,7 +131,7 @@ def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0):
 
 
 def _hier_losses(high, low, high_params, low_params, batch,
-                 high_hidden, low_hidden):
+                 high_hidden, low_hidden, dropout_rng=None):
     obs = {
         k: batch[k]
         for k in batch
@@ -138,9 +144,13 @@ def _hier_losses(high, low, high_params, low_params, batch,
     b, t = batch["not_done_masks"].shape
     oracle_flat = oracle.reshape(-1).astype(jnp.int32)
 
+    kwargs = {}
+    if dropout_rng is not None:  # training: dropout live in the cross-modal
+        # attention stack + LanguageEncoder (reference transformer.py dropouts)
+        kwargs = {"deterministic": False, "rngs": {"dropout": dropout_rng}}
     logits, new_high_hidden = high.apply(
         {"params": high_params}, obs, high_hidden, batch["prev_actions"],
-        batch["not_done_masks"],
+        batch["not_done_masks"], **kwargs,
     )
     hl_loss = losses.subgoal_cross_entropy(logits.reshape(-1, 4), oracle_flat)
 
@@ -182,9 +192,13 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
         # versa (the low level trains on ORACLE sub-goals,
         # hierarchical_trainer.py:522-535), so one combined grad equals the
         # reference's two sequential backward passes while sharing the forward.
+        dropout_rng = jax.random.fold_in(
+            jax.random.PRNGKey(17), state.high.step
+        )
+
         def loss_fn(both):
             hp, lp = both
-            out = losses_fn(hp, lp, batch, high_hidden, low_hidden)
+            out = losses_fn(hp, lp, batch, high_hidden, low_hidden, dropout_rng)
             return out[0] + out[1] + out[2], out
 
         (hgrads, lgrads), out = jax.grad(loss_fn, has_aux=True)(
