@@ -90,7 +90,7 @@ def measure_tpu_fps(batch=4, t=50, reps=7):
 
 def measure_tpu_train_fps(batch=4, t=50, reps=5):
     """Full hierarchical IL train step (grads + AdamW high / Adam low) as one
-    jitted program with remat, same overhead-subtraction method."""
+    jitted program, same overhead-subtraction method."""
     import jax
     import jax.numpy as jnp
 
@@ -124,9 +124,11 @@ def measure_tpu_train_fps(batch=4, t=50, reps=5):
         steps_lib.TrainState(hp, tx_h.init(hp), jnp.asarray(0)),
         steps_lib.TrainState(lp, tx_l.init(lp), jnp.asarray(0)),
     )
+    # remat=False: the frozen trunks are stop_gradient'd, so nothing large
+    # needs saving and full-graph remat only re-runs them (1384 -> 2231 f/s)
     step = steps_lib.make_hier_train_step(
         _B(high, h_extra), _B(low, l_extra), tx_h, tx_l, mesh,
-        donate=False, remat=True,
+        donate=False, remat=False,
     )
 
     rng = np.random.default_rng(1)
