@@ -10,7 +10,7 @@ value    = frames/sec of the full hierarchical IL TRAIN step — the reference's
            hierarchical_trainer.py:492-560): forward (frozen BERT-base + four
            ResNet50 passes per frame + cross-modal attention + both LSTMs) +
            backward + AdamW/Adam updates, one jitted XLA program, bfloat16
-           compute, remat on.
+           compute (remat off: the frozen trunks are stop_gradient'd).
 forward_fps = frames/sec of the teacher-forced forward alone (round-1 metric,
            kept for continuity).
 vs_baseline = each value / the equivalent PyTorch-CPU measurement
