@@ -85,3 +85,42 @@ def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
     return {
         k: jax.device_put(v, batch_sharding(mesh, k)) for k, v in batch.items()
     }
+
+
+def param_shardings(params, mesh: Mesh, min_size: int = 1 << 16):
+    """Tensor-parallel parameter layout over the "model" axis.
+
+    Rule (the standard Megatron-style split, expressed as GSPMD shardings —
+    XLA inserts the all-gathers/reduce-scatters): 2-D kernels large enough to
+    matter shard their OUTPUT dim over "model" when the output dim is the
+    larger one (column-parallel, e.g. FFN up-projections / fused LSTM gates),
+    else their input dim (row-parallel, e.g. FFN down-projections); everything
+    small (biases, LayerNorm, embeddings' vocab dim stays replicated) is
+    replicated.  With mesh model=1 every rule degenerates to replication, so
+    this is safe to apply unconditionally.
+    """
+    n_model = mesh.shape.get("model", 1)
+
+    def rule(path, x):
+        if (
+            getattr(x, "ndim", 0) == 2
+            and x.size >= min_size
+            and n_model > 1
+        ):
+            out_dim = 1 if x.shape[1] >= x.shape[0] else 0
+            if x.shape[out_dim] % n_model == 0:
+                spec = [None, None]
+                spec[out_dim] = "model"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params, mesh: Mesh, min_size: int = 1 << 16):
+    """device_put params with :func:`param_shardings` (jit then keeps the
+    layout; GSPMD inserts the tensor-parallel collectives)."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s),
+        params, param_shardings(params, mesh, min_size),
+    )

@@ -360,3 +360,41 @@ def test_collect_only_flag_stops_after_collection(tmp_path, rng):
     with TrajectoryStore(cfg.DAGGER.LMDB_FEATURES_DIR) as store:
         assert len(store) >= 1
     assert not ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
+
+
+def test_param_shardings_tensor_parallel(rng):
+    """Megatron-style TP rules: big 2-D kernels shard over "model", small
+    leaves replicate, and a model=1 mesh degenerates to full replication."""
+    import jax
+    import jax.numpy as jnp
+
+    from robo_vln_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh([4, 2], ["data", "model"])
+    params = {
+        "ffn_up": jnp.zeros((64, 256)),     # column-parallel (out dim)
+        "ffn_down": jnp.zeros((256, 64)),   # row-parallel (in dim)
+        "small": jnp.zeros((8, 8)),         # below min_size -> replicated
+        "bias": jnp.zeros((256,)),          # 1-D -> replicated
+        "odd": jnp.zeros((64, 255)),        # out dim not divisible -> replicated
+    }
+    sh = mesh_lib.param_shardings(params, mesh, min_size=1024)
+    assert sh["ffn_up"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert sh["ffn_down"].spec == jax.sharding.PartitionSpec("model", None)
+    assert sh["small"].spec == jax.sharding.PartitionSpec()
+    assert sh["bias"].spec == jax.sharding.PartitionSpec()
+    assert sh["odd"].spec == jax.sharding.PartitionSpec()
+
+    mesh1 = mesh_lib.make_mesh([8, 1], ["data", "model"])
+    sh1 = mesh_lib.param_shardings(params, mesh1, min_size=1024)
+    assert all(
+        s.spec == jax.sharding.PartitionSpec() for s in jax.tree.leaves(sh1)
+    )
+
+    # sharded matmul executes and matches the replicated result
+    x = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+    ws = jax.device_put(w, sh["ffn_up"])
+    xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, "x"))
+    out = jax.jit(lambda a, b: a @ b)(xs, ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w), rtol=1e-5)
