@@ -238,7 +238,8 @@ def _measure_in_subprocess(which: str, tries: int = 2):
             + proc.stderr[-500:].replace("\n", " | "),
             file=sys.stderr,
         )
-        time.sleep(120)
+        if attempt < tries - 1:
+            time.sleep(120)
     return None
 
 
@@ -255,20 +256,29 @@ def main():
     fwd_fps = _measure_in_subprocess("forward")
     if train_fps is None and fwd_fps is None:
         raise RuntimeError("both bench subprocesses failed")
-    result = {
-        "metric": "HCM IL train-step throughput",
-        "value": round(float(train_fps), 2) if train_fps else None,
-        "unit": "frames/sec/chip",
-        "vs_baseline": (
-            round(float(train_fps / cache["torch_cpu_train_fps"]), 2)
-            if train_fps else None
-        ),
-        "forward_fps": round(float(fwd_fps), 2) if fwd_fps else None,
-        "forward_vs_baseline": (
-            round(float(fwd_fps / cache["torch_cpu_fps"]), 2) if fwd_fps else None
-        ),
-        "torch_threads": cache.get("torch_threads"),
-    }
+    if train_fps is not None:
+        result = {
+            "metric": "HCM IL train-step throughput",
+            "value": round(float(train_fps), 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(
+                float(train_fps / cache["torch_cpu_train_fps"]), 2
+            ),
+        }
+    else:  # headline falls back to the measurement that succeeded — the
+        # contract is one JSON line with numeric value/vs_baseline
+        result = {
+            "metric": "HCM teacher-forced policy forward throughput",
+            "value": round(float(fwd_fps), 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(float(fwd_fps / cache["torch_cpu_fps"]), 2),
+        }
+    if fwd_fps is not None:
+        result["forward_fps"] = round(float(fwd_fps), 2)
+        result["forward_vs_baseline"] = round(
+            float(fwd_fps / cache["torch_cpu_fps"]), 2
+        )
+    result["torch_threads"] = cache.get("torch_threads")
     print(json.dumps(result))
 
 

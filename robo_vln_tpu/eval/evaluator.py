@@ -69,14 +69,12 @@ def _policy_obs(config, observations, tokenizer, is_bert, instr_cache,
     uuid = config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID
     if episode_id in instr_cache:
         obs[uuid] = instr_cache[episode_id]
-        keep = ("rgb", "depth", uuid, "progress")
-        obs = {k: v for k, v in obs.items() if k in keep}
     else:
         obs = transform_obs(obs, uuid, tokenizer=tokenizer, is_bert=is_bert)
         instr_cache.clear()  # one episode in flight; don't grow unboundedly
         instr_cache[episode_id] = obs[uuid]
-        keep = ("rgb", "depth", uuid, "progress")
-        obs = {k: v for k, v in obs.items() if k in keep}
+    keep = ("rgb", "depth", uuid, "progress")
+    obs = {k: v for k, v in obs.items() if k in keep}
     return batch_obs(obs, pad_instruction_to=config.DAGGER.MAX_INSTRUCTION_LEN)
 
 
@@ -249,7 +247,7 @@ def _run_rollout(
         obs = _policy_obs(config, observations, tokenizer, is_bert,
                           instr_cache, ep.episode_id)
 
-    env.close()
+    pool.close()  # closes the env AND shuts the worker threads down
     return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
 
 

@@ -174,7 +174,12 @@ class CMAPolicy(nn.Module):
             # recurrent cross-modal attention over raw visual tokens
             # (reference cma.py:243-252); prev-action input is the embedding
             # when use_prev_action else the raw velocities
-            pa_in = pa_emb if mc.CMA.use_prev_action else prev_actions.reshape(n, -1)
+            if mc.CMA.use_prev_action:
+                pa_in = pa_emb
+            elif prev_actions is not None:
+                pa_in = prev_actions.reshape(n, -1)
+            else:  # None convention of the other policy paths: zero velocities
+                pa_in = jnp.zeros((n, 2), jnp.float32)
             rgb_tm = jnp.swapaxes(rgb_tokens.reshape(b, t, *rgb_tokens.shape[1:]), 0, 1)
             depth_tm = jnp.swapaxes(
                 depth_tokens.reshape(b, t, *depth_tokens.shape[1:]), 0, 1

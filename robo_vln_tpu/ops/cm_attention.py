@@ -12,7 +12,8 @@ blocks call):
 * ``fused_cross_modal_attention`` (ops/pallas_attention.py) — a pallas kernel
   fusing QK^T -> softmax -> AV in VMEM, used on TPU for unmasked tile-aligned
   calls when :func:`set_use_pallas` has enabled it (trainers wire it from
-  config TPU.USE_PALLAS).
+  config TPU.PALLAS_ATTENTION, default False — see the measurement in
+  ops/pallas_attention.py; TPU.USE_PALLAS gates the LSTM kernel).
 """
 
 from __future__ import annotations

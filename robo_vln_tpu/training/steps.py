@@ -27,6 +27,17 @@ from robo_vln_tpu.parallel import mesh as mesh_lib
 from robo_vln_tpu.training import optimizers as opt_lib
 
 
+def _pad_episode_correction(batch):
+    """Tail batches pad the BATCH axis with empty episodes (data/loader.py).
+    The velocity MSE keeps the reference's mean-over-everything denominator
+    (robo_vln_trainer.py:521-527 — time padding dilutes there too), so padded
+    EPISODES would shrink it relative to the count-normalized stop/CE losses;
+    rescale by B/real_B (exactly 1.0 on full batches)."""
+    valid = batch["valid_mask"]
+    real_b = jnp.maximum(jnp.sum(jnp.any(valid > 0, axis=1)), 1)
+    return valid.shape[0] / real_b.astype(jnp.float32)
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -57,7 +68,9 @@ def _flat_losses(policy, params, batch, hidden, dropout_rng=None, *,
         batch["not_done_masks"], **kwargs,
     )
     corrected = batch["corrected_actions"].reshape(-1, 2)
-    action_loss = losses.masked_velocity_mse(actions.reshape(-1, 2), corrected)
+    action_loss = losses.masked_velocity_mse(
+        actions.reshape(-1, 2), corrected
+    ) * _pad_episode_correction(batch)
     stop_loss = losses.masked_stop_bce(
         stop.reshape(-1, 1), batch["oracle_stop"].reshape(-1, 1)
     )
@@ -162,7 +175,7 @@ def _hier_losses(high, low, high_params, low_params, batch,
     )
     ll_action = losses.masked_velocity_mse(
         actions.reshape(-1, 2), batch["corrected_actions"].reshape(-1, 2)
-    )
+    ) * _pad_episode_correction(batch)
     ll_stop = losses.masked_stop_bce(
         stop.reshape(-1, 1), batch["oracle_stop"].reshape(-1, 1)
     )

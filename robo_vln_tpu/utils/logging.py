@@ -73,10 +73,17 @@ class MetricsWriter:
             + "\n"
         )
         if self._tb is not None:
-            import torch
-
             arr = np.stack(frames).transpose(0, 3, 1, 2)[None]  # (1,T,C,H,W)
-            self._tb.add_video(tag, torch.from_numpy(arr), step, fps=fps)
+            try:
+                import torch
+
+                arr = torch.from_numpy(arr)
+            except ImportError:
+                pass  # tensorboardX accepts numpy directly
+            try:
+                self._tb.add_video(tag, arr, step, fps=fps)
+            except Exception as e:  # noqa: BLE001 — video is best-effort
+                logger.warning(f"tensorboard video skipped: {e}")
 
     def flush(self) -> None:
         self._jsonl.flush()

@@ -398,3 +398,42 @@ def test_param_shardings_tensor_parallel(rng):
     xs = jax.device_put(x, mesh_lib.batch_sharding(mesh, "x"))
     out = jax.jit(lambda a, b: a @ b)(xs, ws)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w), rtol=1e-5)
+
+
+def test_tail_batch_loss_scale_matches_full_batch(tmp_path, rng):
+    """Velocity-MSE on a padded tail batch must match the same episodes in an
+    unpadded batch (the B/real_B correction): padding must not down-weight
+    the action loss relative to the count-normalized stop/CE losses."""
+    import jax.numpy as jnp
+
+    from robo_vln_tpu.training.steps import _flat_losses
+
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.freeze()
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer, _dummy_batch
+
+    trainer = RoboVLNTrainer(cfg)
+    trainer._setup_policy()
+
+    def losses_for(B, real):
+        b = _dummy_batch(cfg, B, t=4)
+        b["rgb"][:real] = 5.0
+        b["corrected_actions"][:real] = 0.7
+        b["oracle_stop"][:real] = 1.0
+        b["valid_mask"][:real] = 1.0
+        bound = trainer._bound_policy()
+        a, s, x, _ = _flat_losses(
+            bound, jax.device_get(trainer.state.params),
+            {k: jnp.asarray(v) for k, v in b.items()},
+            trainer.policy.initial_hidden(B),
+            progress_alpha=1.0, use_progress=False,
+        )
+        return float(a), float(s)
+
+    a_full, s_full = losses_for(2, 2)
+    b = _dummy_batch(cfg, 8, t=4)  # 2 real + 6 padded
+    a_pad, s_pad = losses_for(8, 2)
+    np.testing.assert_allclose(a_pad, a_full, rtol=1e-5)
+    np.testing.assert_allclose(s_pad, s_full, rtol=1e-5)
