@@ -19,7 +19,11 @@ def _run_cli(args, cwd="/root/repo", timeout=600):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     # share the suite's persistent compile cache (jax honors this env var)
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(cwd, ".jax_cache")
-    env["PYTHONPATH"] = cwd + os.pathsep + env.get("PYTHONPATH", "")
+    # drop the ambient TPU plugin path: it force-appends its backend even
+    # under JAX_PLATFORMS=cpu, and a wedged tunnel then hangs the subprocess
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([cwd] + pp)
     return subprocess.run(
         [sys.executable, "run.py"] + args, cwd=cwd, env=env, timeout=timeout,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

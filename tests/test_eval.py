@@ -20,9 +20,9 @@ def test_flat_eval_checkpoint(tmp_path, rng):
     data_path = make_episode_json(tmp_path, n_eps=3)
     cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
     cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
-    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 40
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 25
     cfg.EVAL.SPLIT = "train"
-    cfg.EVAL.EPISODE_COUNT = 2
+    cfg.EVAL.EPISODE_COUNT = 1
     cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
     cfg.freeze()
 
@@ -52,7 +52,7 @@ def test_hierarchical_eval_checkpoint(tmp_path, rng):
     data_path = make_episode_json(tmp_path, n_eps=2)
     cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
     cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
-    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 25
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 12
     cfg.EVAL.SPLIT = "train"
     cfg.EVAL.EPISODE_COUNT = 1
     cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")

@@ -18,7 +18,7 @@ def _map_env(tmp_path, rng, extra_measures=("TOP_DOWN_MAP",)):
     data_path = make_episode_json(tmp_path, n_eps=2)
     cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
     cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
-    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 30
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 18
     cfg.TASK_CONFIG.TASK.MEASUREMENTS = list(
         cfg.TASK_CONFIG.TASK.MEASUREMENTS
     ) + list(extra_measures)
@@ -44,7 +44,7 @@ def test_top_down_map_measure(tmp_path, rng):
     vc = VelocityControl()
     vc.linear_velocity = np.array([0.0, 0.0, -0.8])
     vc.angular_velocity = np.array([0.0, 0.0, 0.0])
-    for _ in range(15):
+    for _ in range(10):
         _, _, _, info = env.step(vc)
     td = info["top_down_map"]
     # agent track drawn in blue as the agent moves
