@@ -91,3 +91,41 @@ def test_cli_missing_config_errors(tmp_path):
         timeout=120,
     )
     assert proc.returncode != 0
+
+
+def test_cli_eval_and_nonlearning(tmp_path, rng):
+    """run.py --run-type eval: checkpoint-folder polling dispatch, and the
+    EVAL.EVAL_NONLEARNING branch (reference run.py:62)."""
+    data_path = make_episode_json(tmp_path, n_eps=2)
+    ov = _tiny_overrides(tmp_path, rng) + [
+        "TASK_CONFIG.SIMULATOR.TYPE", "kinematic",
+        "TASK_CONFIG.DATASET.DATA_PATH", str(data_path),
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "10",
+        "EVAL.SPLIT", "train",
+        "EVAL.EPISODE_COUNT", "1",
+        "EVAL.VAL_LOG_DIR", str(tmp_path / "val_logs"),
+    ]
+    # train first so a checkpoint exists for the eval poll
+    proc = _run_cli(
+        ["--run-type", "train",
+         "--exp-config", "robo_vln_tpu/config/configs/seq2seq_robo.yaml"] + ov
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+
+    proc = _run_cli(
+        ["--run-type", "eval",
+         "--exp-config", "robo_vln_tpu/config/configs/seq2seq_robo.yaml"]
+        + ov + ["EVAL_CKPT_PATH_DIR", str(tmp_path / "ckpts")]
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    stats = os.path.join(tmp_path, "val_logs", "stats_ckpt_0_train.json")
+    assert os.path.exists(stats)
+    assert "ndtw" in json.load(open(stats))
+
+    proc = _run_cli(
+        ["--run-type", "eval",
+         "--exp-config", "robo_vln_tpu/config/configs/nonlearning.yaml"]
+        + ov + ["EVAL.EVAL_NONLEARNING", "True", "EVAL.NONLEARNING_AGENT",
+                "RandomAgent"]
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
