@@ -58,6 +58,10 @@ _C.EVAL = ConfigTree()
 _C.EVAL.SPLIT = "val_seen"
 _C.EVAL.USE_CKPT_CONFIG = True
 _C.EVAL.EPISODE_COUNT = 2
+# batched closed-loop eval: N envs stepped in parallel, ONE policy program
+# over the batch (TPU-native — eval wall time scales ~1/N; the reference is
+# single-env). 1 = the reference-faithful single-env driver incl. videos.
+_C.EVAL.NUM_ENVS = 1
 _C.EVAL.EVAL_NONLEARNING = False
 _C.EVAL.NONLEARNING = ConfigTree()
 _C.EVAL.NONLEARNING.AGENT = "RandomAgent"

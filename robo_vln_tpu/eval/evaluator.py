@@ -251,10 +251,115 @@ def _run_rollout(
     return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
 
 
+def _stack_obs(obs_list):
+    import numpy as _np
+
+    return {
+        k: jnp.asarray(_np.concatenate([o[k] for o in obs_list], axis=0))
+        for k in obs_list[0]
+    }
+
+
+def _run_rollout_batched(
+    config,
+    envs,
+    writer,
+    checkpoint_index: int,
+    policy_step: Callable,
+    init_state: Callable,  # (batch) -> recurrent-state pytree
+    tokenizer,
+    is_bert: bool,
+) -> Dict[str, float]:
+    """N-env closed-loop eval: ONE jitted policy program over the env batch
+    per tick (the single-env driver's video/attention extras are B=1-only).
+    Per-env episode resets reuse the policies' mask-zero hidden reset — a
+    fresh episode's first tick runs with mask_i = 0, exactly like the
+    single-env loop."""
+    gt_json = _load_gt(config)
+    n = len(envs)
+    pool = AsyncEnvPool(envs)
+    sd = config.TASK_CONFIG.TASK.NDTW.SUCCESS_DISTANCE
+    max_steps = config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
+
+    instr_caches = [dict() for _ in range(n)]
+    obs_list = pool.reset()
+    eps = [e.habitat_env.current_episode for e in envs]
+    per_obs = [
+        _policy_obs(config, o, tokenizer, is_bert, c, ep.episode_id)
+        for o, c, ep in zip(obs_list, instr_caches, eps)
+    ]
+    state = init_state(n)
+    prev = jnp.zeros((n, 2))
+    mask = np.zeros((n,), np.float32)
+    vcs = [VelocityControl() for _ in range(n)]
+
+    stats_episodes: Dict = {}
+    locations = [[] for _ in range(n)]
+    steps = [0] * n
+
+    while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
+        for i, env in enumerate(envs):
+            locations[i].append(list(env.habitat_env._sim.get_agent_position()))
+        actions, stop_out, state = policy_step(
+            _stack_obs(per_obs), state, prev, jnp.asarray(mask)
+        )
+        a = np.asarray(actions)
+        stop_logits = np.asarray(stop_out)[:, 0]
+        for i in range(n):
+            vcs[i].linear_velocity = np.array([0.0, 0.0, float(a[i, 0])])
+            vcs[i].angular_velocity = np.array(
+                [0.0, float(np.clip(a[i, 1], -1.0, 1.0)), 0.0]
+            )
+        results = pool.step(vcs)
+        prev = actions
+        mask[:] = 1.0
+        new_prev = np.array(a)  # writable copy — per-env rows zero on reset
+
+        for i, (observations, _, done, info) in enumerate(results):
+            episode_over, success = done
+            stop_pred = float(np.round(1 / (1 + np.exp(-stop_logits[i]))))
+            lin_vel = float(a[i, 0])
+            episode_success = success and (lin_vel < 0.25 or stop_pred == 1)
+            steps[i] += 1
+            if episode_over or episode_success or steps[i] == max_steps:
+                ep = eps[i]
+                if ep.episode_id not in stats_episodes:
+                    gt_locations = gt_json.get(str(ep.episode_id), {}).get(
+                        "locations",
+                        list(ep.reference_path) + [ep.goals[0].position],
+                    )
+                    stats = {
+                        k: v for k, v in info.items() if k != "top_down_map"
+                    }
+                    stats["ndtw"] = ndtw(locations[i], gt_locations, sd)
+                    stats["actual_success"] = 1.0 if episode_success else 0.0
+                    stats_episodes[ep.episode_id] = stats
+                observations = pool.reset_at(i)
+                eps[i] = envs[i].habitat_env.current_episode
+                locations[i] = []
+                steps[i] = 0
+                mask[i] = 0.0
+                new_prev[i] = 0.0
+            per_obs[i] = _policy_obs(
+                config, observations, tokenizer, is_bert, instr_caches[i],
+                eps[i].episode_id,
+            )
+        prev = jnp.asarray(new_prev)
+
+    pool.close()
+    return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
+
+
 def eval_flat_checkpoint(trainer, checkpoint_path, writer,
                          checkpoint_index: int = 0) -> Dict[str, float]:
     config = _eval_config(trainer, checkpoint_path)
-    env = construct_env(config)
+    n_envs = config.EVAL.NUM_ENVS
+    if n_envs > 1:
+        from robo_vln_tpu.envs.env_utils import construct_envs
+
+        envs = construct_envs(config, num_envs=n_envs)
+    else:
+        env = construct_env(config)
 
     if trainer.policy is None:
         trainer._setup_policy()
@@ -276,6 +381,12 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
         actions, stop, hidden = step_fn(params, obs, hidden, prev, mask)
         return actions, stop, hidden
 
+    if n_envs > 1:
+        return _run_rollout_batched(
+            config, envs, writer, checkpoint_index, policy_step,
+            policy.initial_hidden,
+            _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
+        )
     return _run_rollout(
         config, env, writer, checkpoint_index, policy_step,
         lambda: policy.initial_hidden(1),
@@ -286,7 +397,13 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
 def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
                                  checkpoint_index: int = 0) -> Dict[str, float]:
     config = _eval_config(trainer, checkpoint_path)
-    env = construct_env(config)
+    n_envs = config.EVAL.NUM_ENVS
+    if n_envs > 1:
+        from robo_vln_tpu.envs.env_utils import construct_envs
+
+        envs = construct_envs(config, num_envs=n_envs)
+    else:
+        env = construct_env(config)
 
     if trainer.high is None:
         trainer._setup_policy()
@@ -303,7 +420,7 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
     # broken dead code, hierarchical_trainer.py:1178-1191): sow the
     # cross-modal attention weights and write a per-episode instruction-token
     # salience heatmap PNG under VIDEO_DIR/attention/.
-    plot_attention = bool(config.PLOT_ATTENTION)
+    plot_attention = bool(config.PLOT_ATTENTION) and n_envs == 1
     if plot_attention:
         from robo_vln_tpu.ops import cm_attention
 
@@ -350,6 +467,13 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
         att_buf.clear()
 
     try:
+        if n_envs > 1:
+            return _run_rollout_batched(
+                config, envs, writer, checkpoint_index, policy_step,
+                lambda b: (high.initial_hidden(b), low.initial_hidden(b)),
+                _tokenizer_for(config),
+                config.MODEL.INSTRUCTION_ENCODER.is_bert,
+            )
         return _run_rollout(
             config, env, writer, checkpoint_index, policy_step,
             lambda: (high.initial_hidden(1), low.initial_hidden(1)),

@@ -121,3 +121,34 @@ def test_eval_writes_videos(tmp_path, rng):
 
     vids = glob.glob(str(tmp_path / "videos" / "*.mp4"))
     assert vids, "expected an .mp4 written by generate_video"
+
+
+def test_batched_eval_num_envs(tmp_path, rng):
+    """EVAL.NUM_ENVS>1: one policy program over the env batch per tick;
+    per-env resets via the mask-zero hidden reset; same stats contract."""
+    from tests.test_envs import make_episode_json
+
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    data_path = make_episode_json(tmp_path, n_eps=4)
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 15
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 3
+    cfg.EVAL.NUM_ENVS = 2
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+    from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint
+
+    trainer = RoboVLNTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        stats = eval_flat_checkpoint(trainer, "", writer, 0)
+    assert "ndtw" in stats and 0 <= stats["ndtw"] <= 1
+    assert "actual_success" in stats
+    out = os.path.join(cfg.EVAL.VAL_LOG_DIR, "stats_ckpt_0_train.json")
+    assert os.path.exists(out)
