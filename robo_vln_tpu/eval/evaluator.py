@@ -125,6 +125,26 @@ def _tokenizer_for(config):
     ) if vf else None
 
 
+
+
+def _episode_budget(config, envs) -> int:
+    """Cap on completed episodes: requesting more episodes than the dataset
+    holds must terminate, not spin on repeated ids forever (the stats dict is
+    keyed by episode_id)."""
+    total = 0
+    for env in envs:
+        ds = getattr(env.habitat_env, "dataset", None)
+        total += len(ds.episodes) if ds is not None else 0
+    want = config.EVAL.EPISODE_COUNT
+    if total and total < want:
+        logger.warning(
+            f"EVAL.EPISODE_COUNT={want} exceeds the {total} episodes in the "
+            "dataset; evaluating each episode once"
+        )
+        return total
+    return want
+
+
 def _run_rollout(
     config,
     env,
@@ -153,6 +173,7 @@ def _run_rollout(
     prev = jnp.zeros((1, 2))
     mask = jnp.zeros((1,))
 
+    episode_budget = _episode_budget(config, [env])
     stats_episodes: Dict = {}
     locations = []
     rgb_frames = []
@@ -174,7 +195,7 @@ def _run_rollout(
         )
         pending_frame = None
 
-    while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
+    while len(stats_episodes) < episode_budget:
         ep = env.habitat_env.current_episode
         locations.append(list(env.habitat_env._sim.get_agent_position()))
         # dispatch is async: the device computes while the host assembles the
@@ -293,11 +314,12 @@ def _run_rollout_batched(
     mask = np.zeros((n,), np.float32)
     vcs = [VelocityControl() for _ in range(n)]
 
+    episode_budget = _episode_budget(config, envs)
     stats_episodes: Dict = {}
     locations = [[] for _ in range(n)]
     steps = [0] * n
 
-    while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
+    while len(stats_episodes) < episode_budget:
         for i, env in enumerate(envs):
             locations[i].append(list(env.habitat_env._sim.get_agent_position()))
         actions, stop_out, state = policy_step(

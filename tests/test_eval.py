@@ -152,3 +152,29 @@ def test_batched_eval_num_envs(tmp_path, rng):
     assert "actual_success" in stats
     out = os.path.join(cfg.EVAL.VAL_LOG_DIR, "stats_ckpt_0_train.json")
     assert os.path.exists(out)
+
+
+def test_eval_episode_count_exceeding_dataset_terminates(tmp_path, rng):
+    """EVAL.EPISODE_COUNT beyond the dataset must evaluate each episode once
+    and terminate (the id-keyed stats dict would otherwise spin forever)."""
+    from tests.test_envs import make_episode_json
+
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = make_episode_json(tmp_path, n_eps=2)
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 8
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 50  # dataset has 2
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+    from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint
+
+    trainer = RoboVLNTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        stats = eval_flat_checkpoint(trainer, "", writer, 0)
+    assert "ndtw" in stats  # terminated with 2 unique episodes
