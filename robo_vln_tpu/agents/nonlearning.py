@@ -94,7 +94,11 @@ def evaluate_agent(config) -> Dict[str, float]:
     locations = []
     sd = config.TASK_CONFIG.TASK.NDTW.SUCCESS_DISTANCE
 
-    while len(stats_episodes) < config.EVAL.EPISODE_COUNT:
+    from robo_vln_tpu.eval.evaluator import _DuplicateBreaker, _episode_budget
+
+    budget = _episode_budget(config, [env])
+    breaker = _DuplicateBreaker("nonlearning eval")
+    while len(stats_episodes) < budget:
         ep = env.habitat_env.current_episode
         actions = agent.act()
         vc.linear_velocity = np.array([0, 0, -actions[0]])
@@ -111,9 +115,12 @@ def evaluate_agent(config) -> Dict[str, float]:
                 "locations",
                 list(ep.reference_path) + [ep.goals[0].position],
             )
+            was_new = ep.episode_id not in stats_episodes
             stats = dict(info)
             stats["ndtw"] = ndtw(locations, gt_locations, sd)
             stats_episodes[ep.episode_id] = stats
+            if breaker.record(was_new, len(stats_episodes)):
+                break
             locations = []
             steps = 0
             obs = env.reset()
@@ -124,7 +131,9 @@ def evaluate_agent(config) -> Dict[str, float]:
     for key in next(iter(stats_episodes.values())).keys():
         vals = [v[key] for v in stats_episodes.values() if v[key] is not None]
         aggregated[key] = float(np.mean(vals)) if vals else 0.0
-    out_path = f"stats_complete_{name}_{split}.json"
+    out_dir = config.EVAL.VAL_LOG_DIR or "."
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"stats_complete_{name}_{split}.json")
     with open(out_path, "w") as f:
         json.dump(aggregated, f, indent=4)
     logger.info(f"nonlearning eval ({name}, {split}): {aggregated}")

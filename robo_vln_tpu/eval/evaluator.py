@@ -130,19 +130,47 @@ def _tokenizer_for(config):
 def _episode_budget(config, envs) -> int:
     """Cap on completed episodes: requesting more episodes than the dataset
     holds must terminate, not spin on repeated ids forever (the stats dict is
-    keyed by episode_id)."""
-    total = 0
+    keyed by episode_id).  Counts UNIQUE episode ids across the envs —
+    scene-split fallbacks can hand several envs the same episodes.  Envs
+    without an introspectable dataset return the raw count; the rollout
+    loops also carry a duplicate-completion circuit breaker for that case."""
+    unique = set()
+    introspectable = True
     for env in envs:
         ds = getattr(env.habitat_env, "dataset", None)
-        total += len(ds.episodes) if ds is not None else 0
+        if ds is None:
+            introspectable = False
+            continue
+        unique |= {ep.episode_id for ep in ds.episodes}
     want = config.EVAL.EPISODE_COUNT
-    if total and total < want:
+    if introspectable and unique and len(unique) < want:
         logger.warning(
-            f"EVAL.EPISODE_COUNT={want} exceeds the {total} episodes in the "
-            "dataset; evaluating each episode once"
+            f"EVAL.EPISODE_COUNT={want} exceeds the {len(unique)} unique "
+            "episodes available; evaluating each episode once"
         )
-        return total
+        return len(unique)
     return want
+
+
+class _DuplicateBreaker:
+    """Terminates an id-keyed eval loop when completions stop yielding new
+    episodes (backstop for envs whose dataset size is unknown)."""
+
+    def __init__(self, label: str = "eval"):
+        self._consecutive = 0
+        self._label = label
+
+    def record(self, was_new: bool, n_unique: int) -> bool:
+        """Returns True when the loop should stop."""
+        self._consecutive = 0 if was_new else self._consecutive + 1
+        if self._consecutive > max(2 * n_unique + 10, 20):
+            logger.warning(
+                f"{self._label}: {self._consecutive} consecutive repeated "
+                f"episodes after {n_unique} unique — dataset exhausted, "
+                "stopping"
+            )
+            return True
+        return False
 
 
 def _run_rollout(
@@ -174,6 +202,7 @@ def _run_rollout(
     mask = jnp.zeros((1,))
 
     episode_budget = _episode_budget(config, [env])
+    breaker = _DuplicateBreaker("eval")
     stats_episodes: Dict = {}
     locations = []
     rgb_frames = []
@@ -239,12 +268,15 @@ def _run_rollout(
             gt_locations = gt_json.get(str(ep.episode_id), {}).get(
                 "locations", list(ep.reference_path) + [ep.goals[0].position]
             )
+            was_new = ep.episode_id not in stats_episodes
             # the map is a frame payload, not a scalar metric (habitat pops it
             # the same way before aggregation)
             stats = {k: v for k, v in info.items() if k != "top_down_map"}
             stats["ndtw"] = ndtw(locations, gt_locations, sd)
             stats["actual_success"] = 1.0 if episode_success else 0.0
             stats_episodes[ep.episode_id] = stats
+            if breaker.record(was_new, len(stats_episodes)):
+                break
             if config.VIDEO_OPTION:
                 assemble_pending()
                 from robo_vln_tpu.tasks.viz import generate_video
@@ -273,10 +305,8 @@ def _run_rollout(
 
 
 def _stack_obs(obs_list):
-    import numpy as _np
-
     return {
-        k: jnp.asarray(_np.concatenate([o[k] for o in obs_list], axis=0))
+        k: jnp.asarray(np.concatenate([o[k] for o in obs_list], axis=0))
         for k in obs_list[0]
     }
 
@@ -314,7 +344,14 @@ def _run_rollout_batched(
     mask = np.zeros((n,), np.float32)
     vcs = [VelocityControl() for _ in range(n)]
 
+    if config.VIDEO_OPTION:
+        logger.warning(
+            "VIDEO_OPTION is only rendered by the single-env driver; "
+            "EVAL.NUM_ENVS>1 produces no videos"
+        )
     episode_budget = _episode_budget(config, envs)
+    breaker = _DuplicateBreaker("batched eval")
+    stop_loop = False
     stats_episodes: Dict = {}
     locations = [[] for _ in range(n)]
     steps = [0] * n
@@ -332,10 +369,11 @@ def _run_rollout_batched(
             vcs[i].angular_velocity = np.array(
                 [0.0, float(np.clip(a[i, 1], -1.0, 1.0)), 0.0]
             )
-        results = pool.step(vcs)
-        prev = actions
+        pool.async_step(vcs)
+        # host bookkeeping overlaps the sim step (same as the 1-env driver)
         mask[:] = 1.0
         new_prev = np.array(a)  # writable copy — per-env rows zero on reset
+        results = pool.wait_step()
 
         for i, (observations, _, done, info) in enumerate(results):
             episode_over, success = done
@@ -345,7 +383,8 @@ def _run_rollout_batched(
             steps[i] += 1
             if episode_over or episode_success or steps[i] == max_steps:
                 ep = eps[i]
-                if ep.episode_id not in stats_episodes:
+                was_new = ep.episode_id not in stats_episodes
+                if was_new:
                     gt_locations = gt_json.get(str(ep.episode_id), {}).get(
                         "locations",
                         list(ep.reference_path) + [ep.goals[0].position],
@@ -356,6 +395,8 @@ def _run_rollout_batched(
                     stats["ndtw"] = ndtw(locations[i], gt_locations, sd)
                     stats["actual_success"] = 1.0 if episode_success else 0.0
                     stats_episodes[ep.episode_id] = stats
+                if breaker.record(was_new, len(stats_episodes)):
+                    stop_loop = True
                 observations = pool.reset_at(i)
                 eps[i] = envs[i].habitat_env.current_episode
                 locations[i] = []
@@ -367,6 +408,8 @@ def _run_rollout_batched(
                 eps[i].episode_id,
             )
         prev = jnp.asarray(new_prev)
+        if stop_loop:
+            break
 
     pool.close()
     return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
@@ -443,6 +486,11 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
     # cross-modal attention weights and write a per-episode instruction-token
     # salience heatmap PNG under VIDEO_DIR/attention/.
     plot_attention = bool(config.PLOT_ATTENTION) and n_envs == 1
+    if config.PLOT_ATTENTION and n_envs > 1:
+        logger.warning(
+            "PLOT_ATTENTION is only rendered by the single-env driver; "
+            "EVAL.NUM_ENVS>1 produces no attention heatmaps"
+        )
     if plot_attention:
         from robo_vln_tpu.ops import cm_attention
 

@@ -7,8 +7,10 @@ import sys
 from unittest import mock
 
 
-def _run_main(train_fps, fwd_fps, capsys):
+def _run_main(train_fps, fwd_fps, capsys, monkeypatch):
     import bench
+
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
 
     cache = {
         "torch_cpu_fps": 2.0, "torch_cpu_train_fps": 1.0, "torch_threads": 1,
@@ -26,25 +28,22 @@ def _run_main(train_fps, fwd_fps, capsys):
     return json.loads(out[-1])
 
 
-def test_bench_json_contract(capsys):
-    sys.argv = ["bench.py"]
-    r = _run_main(2000.0, 3000.0, capsys)
+def test_bench_json_contract(capsys, monkeypatch):
+    r = _run_main(2000.0, 3000.0, capsys, monkeypatch)
     assert r["metric"] == "HCM IL train-step throughput"
     assert r["value"] == 2000.0 and r["vs_baseline"] == 2000.0
     assert r["unit"] == "frames/sec/chip"
     assert r["forward_fps"] == 3000.0 and r["forward_vs_baseline"] == 1500.0
 
 
-def test_bench_falls_back_to_forward_headline(capsys):
-    sys.argv = ["bench.py"]
-    r = _run_main(None, 3000.0, capsys)
+def test_bench_falls_back_to_forward_headline(capsys, monkeypatch):
+    r = _run_main(None, 3000.0, capsys, monkeypatch)
     assert r["metric"] == "HCM teacher-forced policy forward throughput"
     assert isinstance(r["value"], float) and isinstance(r["vs_baseline"], float)
 
 
-def test_bench_raises_when_both_fail(capsys):
+def test_bench_raises_when_both_fail(capsys, monkeypatch):
     import pytest
 
-    sys.argv = ["bench.py"]
     with pytest.raises(RuntimeError):
-        _run_main(None, None, capsys)
+        _run_main(None, None, capsys, monkeypatch)

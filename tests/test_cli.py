@@ -125,7 +125,10 @@ def test_cli_eval_and_nonlearning(tmp_path, rng):
     proc = _run_cli(
         ["--run-type", "eval",
          "--exp-config", "robo_vln_tpu/config/configs/nonlearning.yaml"]
-        + ov + ["EVAL.EVAL_NONLEARNING", "True", "EVAL.NONLEARNING_AGENT",
+        + ov + ["EVAL.EVAL_NONLEARNING", "True", "EVAL.NONLEARNING.AGENT",
                 "RandomAgent"]
     )
     assert proc.returncode == 0, proc.stdout[-2000:]
+    assert os.path.exists(
+        os.path.join(tmp_path, "val_logs", "stats_complete_RandomAgent_train.json")
+    )
