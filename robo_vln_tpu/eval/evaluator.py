@@ -78,7 +78,8 @@ def _policy_obs(config, observations, tokenizer, is_bert, instr_cache,
     return batch_obs(obs, pad_instruction_to=config.DAGGER.MAX_INSTRUCTION_LEN)
 
 
-def _aggregate_and_log(stats_episodes, config, writer, checkpoint_index):
+def _aggregate_and_log(stats_episodes, config, writer, checkpoint_index,
+                       extra_fields: Dict = None):
     aggregated = {}
     num = len(stats_episodes)
     for key in next(iter(stats_episodes.values())).keys():
@@ -89,31 +90,117 @@ def _aggregate_and_log(stats_episodes, config, writer, checkpoint_index):
     out = os.path.join(
         config.EVAL.VAL_LOG_DIR, f"stats_ckpt_{checkpoint_index}_{split}.json"
     )
-    with open(out, "w") as f:
-        json.dump(aggregated, f, indent=4)
     logger.info(f"Episodes evaluated: {num}")
     for k, v in aggregated.items():
         logger.info(f"Average episode {k}: {v:.6f}")
         writer.add_scalar(f"eval_{split}_{k}", v, checkpoint_index + 1)
+    if extra_fields:
+        # non-scalar payload (e.g. backbone provenance) recorded in the stats
+        # json but never aggregated or written as scalars
+        aggregated = {**aggregated, **extra_fields}
+    with open(out, "w") as f:
+        json.dump(aggregated, f, indent=4)
     return aggregated
+
+
+# settings that belong to the EVAL INVOCATION, reapplied after a
+# USE_CKPT_CONFIG restore (the reference does the same via _setup_eval_config
+# + the explicit SPLIT overrides, robo_vln_trainer.py:1008-1022)
+_EVAL_SIDE_KEYS = (
+    "EVAL", "EVAL_CKPT_PATH_DIR", "VIDEO_OPTION", "VIDEO_DIR",
+    "TENSORBOARD_DIR", "LOG_FILE", "PLOT_ATTENTION", "NUM_PROCESSES",
+)
 
 
 def _eval_config(trainer, checkpoint_path: str = ""):
     config = trainer.config.clone().defrost()
     if config.EVAL.USE_CKPT_CONFIG and checkpoint_path:
-        # restore the training-time config stored with the checkpoint
-        # (reference EVAL.USE_CKPT_CONFIG, robo_vln_trainer.py:1008-1011)
-        meta = os.path.join(str(checkpoint_path), "framework_metadata.json")
-        if os.path.exists(meta):
-            with open(meta) as f:
-                saved = json.load(f).get("config", {})
-            if "MODEL" in saved:
-                config.MODEL.merge_dict(saved["MODEL"])
+        # restore the FULL training-time config stored with the checkpoint
+        # (reference EVAL.USE_CKPT_CONFIG, robo_vln_trainer.py:1008-1011 —
+        # task/dagger settings like instruction length and sensor sizes come
+        # from training, not from the eval yaml), then reapply the eval-side
+        # invocation settings
+        cp = str(checkpoint_path)
+        saved = None
+        if cp.endswith(".pth") and os.path.isfile(cp):
+            raw = ckpt_lib.torch_checkpoint_config(cp)
+            if raw:
+                # reference configs carry habitat task trees that do not map
+                # onto this framework's backends; restore the stanzas that do
+                saved = {
+                    k: raw[k] for k in ("MODEL", "DAGGER") if k in raw
+                }
+        else:
+            meta = os.path.join(cp, "framework_metadata.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    saved = json.load(f).get("config", {})
+        if saved:
+            try:
+                config.merge_dict(saved)
+            except Exception as e:
+                logger.warning(
+                    f"USE_CKPT_CONFIG: saved config did not merge cleanly "
+                    f"({e}); continuing with the eval config"
+                )
+                config = trainer.config.clone().defrost()
+            for k in _EVAL_SIDE_KEYS:
+                v = trainer.config.get(k)
+                config[k] = v.clone() if hasattr(v, "clone") else v
     config.TASK_CONFIG.DATASET.SPLIT = config.EVAL.SPLIT
     config.TASK_CONFIG.TASK.NDTW.SPLIT = config.EVAL.SPLIT
     config.TASK_CONFIG.TASK.SDTW.SPLIT = config.EVAL.SPLIT
     config.freeze()
     return config
+
+
+def _load_eval_weights(trainer, checkpoint_path, kind: str) -> None:
+    """Load eval weights into a set-up trainer: a reference torch ``.pth``
+    goes through the converter (the one-command HCM_Agent.pth path,
+    reference README.md:251-255), anything else restores an orbax train
+    state.  Updates ``trainer.pretrained_backbones`` provenance."""
+    cp = str(checkpoint_path)
+    if not (checkpoint_path and os.path.exists(cp)):
+        return
+    if cp.endswith(".pth"):
+        if kind == "hierarchical":
+            ckpt_lib.load_torch_into_hier_trainer(trainer, cp)
+        else:
+            ckpt_lib.load_torch_into_flat_trainer(trainer, cp)
+        # trunks now come from the checkpoint, whatever graft_pretrained did
+        trainer.pretrained_backbones = {
+            k: {"status": "checkpoint", "path": cp}
+            for k, v in getattr(trainer, "pretrained_backbones", {}).items()
+            if v.get("status") != "not_in_model"
+        }
+    else:
+        trainer.state = ckpt_lib.load_checkpoint(checkpoint_path, trainer.state)
+        extra = ckpt_lib.load_extra_variables(cp)
+        if extra is not None:
+            # restore BN stats saved with the checkpoint (lossless for
+            # checkpoints converted from .pth without the weight files)
+            if kind == "hierarchical":
+                trainer._high_extra = extra.get("high", trainer._high_extra)
+                trainer._low_extra = extra.get("low", trainer._low_extra)
+            else:
+                trainer.extra_variables = extra
+    logger.info(f"Loaded weights from checkpoint: {checkpoint_path}")
+
+
+def _check_backbone_provenance(trainer) -> Dict:
+    """Warn (loudly) when an eval is about to run with RANDOM frozen trunks —
+    a converted checkpoint without the weight files produces plausible-looking
+    but meaningless stats.  Returns the provenance dict for the stats json."""
+    prov = getattr(trainer, "pretrained_backbones", {}) or {}
+    missing = [k for k, v in prov.items() if v.get("status") == "missing_file"]
+    if missing:
+        logger.warning(
+            "EVAL WITH RANDOM BACKBONES: no pretrained weights were loaded "
+            f"for {missing} — metrics will be meaningless. Drop the weight "
+            "files at the MODEL.*.pretrained_weights / ddppo_checkpoint paths "
+            "(see docs/RUNBOOK.md)."
+        )
+    return prov
 
 
 def _tokenizer_for(config):
@@ -183,6 +270,7 @@ def _run_rollout(
     tokenizer,
     is_bert: bool,
     on_episode_end: Callable = None,  # (episode) -> None, after stats recorded
+    extra_fields: Dict = None,
 ) -> Dict[str, float]:
     """Shared closed-loop rollout: policy tick / sim tick alternation with
     device-host overlap, per-episode stats, videos, aggregation."""
@@ -301,7 +389,8 @@ def _run_rollout(
                           instr_cache, ep.episode_id)
 
     pool.close()  # closes the env AND shuts the worker threads down
-    return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
+    return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index,
+                              extra_fields)
 
 
 def _stack_obs(obs_list):
@@ -320,6 +409,7 @@ def _run_rollout_batched(
     init_state: Callable,  # (batch) -> recurrent-state pytree
     tokenizer,
     is_bert: bool,
+    extra_fields: Dict = None,
 ) -> Dict[str, float]:
     """N-env closed-loop eval: ONE jitted policy program over the env batch
     per tick (the single-env driver's video/attention extras are B=1-only).
@@ -412,7 +502,8 @@ def _run_rollout_batched(
             break
 
     pool.close()
-    return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index)
+    return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index,
+                              extra_fields)
 
 
 def eval_flat_checkpoint(trainer, checkpoint_path, writer,
@@ -428,9 +519,9 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
 
     if trainer.policy is None:
         trainer._setup_policy()
-    if checkpoint_path and os.path.exists(str(checkpoint_path)):
-        trainer.state = ckpt_lib.load_checkpoint(checkpoint_path, trainer.state)
-        logger.info(f"Loaded weights from checkpoint: {checkpoint_path}")
+    _load_eval_weights(trainer, checkpoint_path, kind="flat")
+    provenance = _check_backbone_provenance(trainer)
+    extra = {"pretrained_backbones": provenance} if provenance else None
     policy = trainer.policy
     bound = trainer._bound_policy()
     params = trainer.state.params
@@ -451,11 +542,13 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
             config, envs, writer, checkpoint_index, policy_step,
             policy.initial_hidden,
             _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
+            extra_fields=extra,
         )
     return _run_rollout(
         config, env, writer, checkpoint_index, policy_step,
         lambda: policy.initial_hidden(1),
         _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
+        extra_fields=extra,
     )
 
 
@@ -472,9 +565,9 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
 
     if trainer.high is None:
         trainer._setup_policy()
-    if checkpoint_path and os.path.exists(str(checkpoint_path)):
-        trainer.state = ckpt_lib.load_checkpoint(checkpoint_path, trainer.state)
-        logger.info(f"Loaded weights from checkpoint: {checkpoint_path}")
+    _load_eval_weights(trainer, checkpoint_path, kind="hierarchical")
+    provenance = _check_backbone_provenance(trainer)
+    extra = {"pretrained_backbones": provenance} if provenance else None
     high, low = trainer.high, trainer.low
     from robo_vln_tpu.training.hierarchical_trainer import _bind
 
@@ -543,12 +636,14 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
                 lambda b: (high.initial_hidden(b), low.initial_hidden(b)),
                 _tokenizer_for(config),
                 config.MODEL.INSTRUCTION_ENCODER.is_bert,
+                extra_fields=extra,
             )
         return _run_rollout(
             config, env, writer, checkpoint_index, policy_step,
             lambda: (high.initial_hidden(1), low.initial_hidden(1)),
             _tokenizer_for(config), config.MODEL.INSTRUCTION_ENCODER.is_bert,
             on_episode_end=on_episode_end,
+            extra_fields=extra,
         )
     finally:
         if plot_attention:

@@ -38,6 +38,43 @@ def load_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(path, target=jax.device_get(target))
 
 
+def _flatten_tree(d: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def save_extra_variables(ckpt_dir: str, extra: Dict) -> None:
+    """Persist non-param variable collections (frozen BN batch_stats) next to
+    an orbax train state.  Train states only carry params/opt/step; for
+    CONVERTED reference checkpoints the BN stats come from the .pth and would
+    otherwise be lost (graft_pretrained can only refill them when the weight
+    files exist)."""
+    flat = _flatten_tree(jax.device_get(dict(extra)))
+    if flat:
+        np.savez(os.path.join(ckpt_dir, "extra_variables.npz"), **flat)
+
+
+def load_extra_variables(ckpt_dir: str) -> Optional[Dict]:
+    p = os.path.join(str(ckpt_dir), "extra_variables.npz")
+    if not os.path.exists(p):
+        return None
+    out: Dict = {}
+    with np.load(p) as z:
+        for k in z.files:
+            node = out
+            parts = k.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = z[k]
+    return out
+
+
 def list_checkpoints(folder: str):
     """ckpt.{i} directories sorted by index (reference polls the folder for
     new ckpt.{i}.pth files, README.md:209)."""
@@ -359,3 +396,177 @@ def convert_torch_checkpoint(path: str, blocks=None):
     if any(k.startswith("second_state_encoder.") for k in sd):
         return "cma", convert_cma_state_dict(sd, blocks=blocks)
     return "seq2seq", convert_seq2seq_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# .pth -> live trainer state (the user-facing `run.py --run-type eval` path
+# for the published HCM_Agent.pth, reference README.md:251-255; loaded there
+# at hierarchical_trainer.py:996-1006)
+# ---------------------------------------------------------------------------
+
+# heads the reference constructs UNCONDITIONALLY (so they sit in every
+# state_dict) but that this framework only builds when configured on:
+# progress_monitor (PROGRESS_MONITOR.use), sub_goal_linear (unused in the
+# reference loss, seq2seq.py:109).  Safe to drop when the policy lacks them.
+_OPTIONAL_CKPT_KEYS = frozenset({"progress_monitor", "sub_goal_linear"})
+
+
+def merge_converted(dst: Dict, src: Dict, path: str = "") -> int:
+    """Recursively replace leaves of `dst` (an initialized variable tree) with
+    matching leaves of `src` (a converted torch tree).  Keys of `dst` absent
+    from `src` keep their initialized values; keys of `src` absent from `dst`
+    raise (a converted weight that lands nowhere is a layout bug, not noise)
+    unless they are known optional heads.  Returns leaves replaced."""
+    n = 0
+    for k, v in src.items():
+        here = f"{path}.{k}" if path else str(k)
+        if k not in dst:
+            if k in _OPTIONAL_CKPT_KEYS:
+                from robo_vln_tpu.utils.logging import logger
+
+                logger.info(
+                    f"checkpoint head {here!r} not present in the policy "
+                    "(disabled by config); skipped"
+                )
+                continue
+            raise KeyError(
+                f"converted checkpoint key {here!r} does not exist in the "
+                "initialized policy (wrong MODEL config for this .pth?)"
+            )
+        if isinstance(v, dict) and isinstance(dst[k], dict):
+            n += merge_converted(dst[k], v, here)
+            continue
+        if np.shape(dst[k]) != np.shape(v):
+            raise ValueError(
+                f"shape mismatch at {here!r}: policy {np.shape(dst[k])} vs "
+                f"checkpoint {np.shape(v)} (wrong MODEL config for this .pth?)"
+            )
+        dst[k] = np.asarray(v)
+        n += 1
+    return n
+
+
+def _mutable_tree(tree):
+    """Deep-copied structure (fresh plain dicts), same array leaves."""
+    return jax.tree.map(lambda x: x, dict(tree))
+
+
+def _blocks_from_config(config):
+    b_depth = list(config.MODEL.DEPTH_ENCODER.blocks)
+    b_rgb = list(config.MODEL.RGB_ENCODER.blocks)
+    if b_depth != b_rgb:
+        from robo_vln_tpu.utils.logging import logger
+
+        logger.warning(
+            f"DEPTH_ENCODER.blocks {b_depth} != RGB_ENCODER.blocks {b_rgb}; "
+            "the torch converter uses one block layout — using depth's"
+        )
+    return b_depth
+
+
+def load_torch_into_flat_trainer(trainer, path: str) -> Dict[str, int]:
+    """Convert a reference flat .pth (Seq2SeqNet or CMANet) and graft it into
+    a set-up RoboVLNTrainer's state.  ALL weights — trainable heads AND the
+    frozen trunks stored in the state_dict — come from the checkpoint, so a
+    subsequent eval needs no separate backbone files.  Returns per-collection
+    replaced-leaf counts."""
+    from robo_vln_tpu.utils.logging import logger
+
+    blocks = _blocks_from_config(trainer.config)
+    kind, conv = convert_torch_checkpoint(path, blocks=blocks)
+    if kind == "hierarchical":
+        raise ValueError(
+            f"{path} is a hierarchical (HCM) checkpoint; evaluate it with "
+            "TRAINER_NAME hierarchical_trainer"
+        )
+    if kind == "seq2seq":
+        params_src, stats_src = conv, None
+        sd = load_torch_state_dict(path)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+        cnn_p, cnn_s = convert_rgb_backbone(sd, "rgb_encoder.cnn.", blocks=blocks)
+        if cnn_p is not None:
+            params_src.setdefault("rgb_encoder", {})["cnn"] = cnn_p
+            stats_src = {"rgb_encoder": {"cnn": cnn_s}}
+    else:  # cma
+        params_src = conv["params"]
+        stats_src = conv.get("batch_stats")
+
+    params = _mutable_tree(trainer.state.params)
+    n_params = merge_converted(params, params_src)
+    trainer.state = trainer.state._replace(params=params)
+    n_stats = 0
+    if stats_src and "batch_stats" in trainer.extra_variables:
+        bs = _mutable_tree(trainer.extra_variables["batch_stats"])
+        n_stats = merge_converted(bs, stats_src)
+        trainer.extra_variables = dict(trainer.extra_variables)
+        trainer.extra_variables["batch_stats"] = bs
+    logger.info(
+        f"converted {kind} torch checkpoint {path}: {n_params} param leaves, "
+        f"{n_stats} batch-stat leaves"
+    )
+    return {"kind": kind, "params": n_params, "batch_stats": n_stats}
+
+
+def load_torch_into_hier_trainer(trainer, path: str) -> Dict[str, int]:
+    """Convert a reference hierarchical .pth (the HCM_Agent.pth layout) and
+    graft it into a set-up HierarchicalTrainer's state."""
+    from robo_vln_tpu.utils.logging import logger
+
+    blocks = _blocks_from_config(trainer.config)
+    kind, conv = convert_torch_checkpoint(path, blocks=blocks)
+    if kind != "hierarchical":
+        raise ValueError(
+            f"{path} is a flat ({kind}) checkpoint; evaluate it with "
+            "TRAINER_NAME robo_vln_trainer"
+        )
+    high_vars, low_vars = conv
+    counts = {"kind": kind}
+    for name, vars_src, state_attr, extra_attr in (
+        ("high", high_vars, "high", "_high_extra"),
+        ("low", low_vars, "low", "_low_extra"),
+    ):
+        sub = getattr(trainer.state, state_attr)
+        params = _mutable_tree(sub.params)
+        counts[f"{name}_params"] = merge_converted(params, vars_src["params"])
+        trainer.state = trainer.state._replace(
+            **{state_attr: sub._replace(params=params)}
+        )
+        extra = dict(getattr(trainer, extra_attr))
+        if "batch_stats" in vars_src and "batch_stats" in extra:
+            bs = _mutable_tree(extra["batch_stats"])
+            counts[f"{name}_batch_stats"] = merge_converted(
+                bs, vars_src["batch_stats"]
+            )
+            extra["batch_stats"] = bs
+            setattr(trainer, extra_attr, extra)
+    logger.info(f"converted hierarchical torch checkpoint {path}: {counts}")
+    return counts
+
+
+def torch_checkpoint_config(path: str) -> Optional[Dict]:
+    """Best-effort read of the training config stored inside a reference .pth
+    (saved at robo_vln_trainer.py:359-372).  The pickled yacs CfgNode needs
+    yacs importable; degrade to None (eval config used) when it isn't."""
+    try:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        cfg = ckpt.get("config") if isinstance(ckpt, dict) else None
+        if cfg is None:
+            return None
+        if isinstance(cfg, dict):
+            return dict(cfg)
+        # yacs CfgNode subclasses dict; convert_to_dict-style walk
+        def walk(node):
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            return node
+
+        return walk(dict(cfg))
+    except Exception as e:  # missing yacs, truncated file, ...
+        from robo_vln_tpu.utils.logging import logger
+
+        logger.warning(f"could not read config from {path}: {e}")
+        return None

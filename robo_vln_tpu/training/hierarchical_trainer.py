@@ -80,8 +80,16 @@ class HierarchicalTrainer(BaseTrainer):
         )
         from robo_vln_tpu.utils.pretrained import graft_pretrained
 
-        hvars = graft_pretrained(hvars, cfg.MODEL)
-        lvars = graft_pretrained(lvars, cfg.MODEL)
+        hvars, high_prov = graft_pretrained(hvars, cfg.MODEL)
+        lvars, low_prov = graft_pretrained(lvars, cfg.MODEL)
+        # one merged provenance: a backbone "in the model" if either module
+        # holds it; "loaded" only if loaded everywhere it is needed
+        order = {"missing_file": 3, "error": 2, "loaded": 1, "not_in_model": 0}
+        self.pretrained_backbones = {
+            k: max(high_prov[k], low_prov[k],
+                   key=lambda d: order.get(d.get("status"), 0))
+            for k in high_prov
+        }
         hp, lp = hvars["params"], lvars["params"]
         self._high_extra = {k: v for k, v in hvars.items() if k != "params"}
         self._low_extra = {k: v for k, v in lvars.items() if k != "params"}
@@ -113,6 +121,9 @@ class HierarchicalTrainer(BaseTrainer):
         path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
         ckpt_lib.save_checkpoint(
             path, self.state, metadata={"config": self.config.to_dict()}
+        )
+        ckpt_lib.save_extra_variables(
+            path, {"high": self._high_extra, "low": self._low_extra}
         )
 
     def train_epoch(self, batches, epoch, writer, train_steps):

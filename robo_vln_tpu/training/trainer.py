@@ -124,7 +124,7 @@ class RoboVLNTrainer(BaseTrainer):
         )
         from robo_vln_tpu.utils.pretrained import graft_pretrained
 
-        variables = graft_pretrained(
+        variables, self.pretrained_backbones = graft_pretrained(
             jax.tree.map(lambda x: x, variables), cfg.MODEL
         )
         params = variables["params"]
@@ -169,6 +169,7 @@ class RoboVLNTrainer(BaseTrainer):
         ckpt_lib.save_checkpoint(
             path, self.state, metadata={"config": self.config.to_dict()}
         )
+        ckpt_lib.save_extra_variables(path, self.extra_variables)
 
     # -- epochs ---------------------------------------------------------------
     def _batches(self, features_dir: str, seed: int) -> Iterator[Dict]:

@@ -72,53 +72,93 @@ def _replace_named_subtrees(tree: Dict, name: str, replacement) -> int:
     return n
 
 
-def graft_pretrained(variables: Dict[str, Any], model_config) -> Dict[str, Any]:
-    """Returns variables with pretrained backbones grafted in (pure dicts)."""
+def _count_named_subtrees(tree, name: str) -> int:
+    n = 0
+    for k, v in tree.items():
+        if k == name and isinstance(v, dict):
+            n += 1
+        elif isinstance(v, dict):
+            n += _count_named_subtrees(v, name)
+    return n
+
+
+def graft_pretrained(variables: Dict[str, Any], model_config
+                     ) -> Tuple[Dict[str, Any], Dict[str, Dict]]:
+    """Returns (variables with pretrained backbones grafted in, provenance).
+
+    Provenance records, per backbone, whether the run uses REAL weights or
+    random init — threaded into eval stats json so a random-backbone eval can
+    never pass silently:
+      status: "loaded" | "missing_file" (model needs it, no file) |
+              "not_in_model" | "error"
+    """
     import jax
 
     variables = jax.tree.map(lambda x: x, dict(variables))  # shallow copy tree
     params = variables.get("params", {})
     stats = variables.get("batch_stats", {})
+    provenance: Dict[str, Dict] = {}
 
-    # DDPPO depth resnet
-    sd = _load_state_dict(model_config.DEPTH_ENCODER.ddppo_checkpoint)
-    if sd is not None:
+    def graft_one(name, path, subtree_name, port_fn):
+        present = _count_named_subtrees(params, subtree_name)
+        if present == 0:
+            provenance[name] = {"status": "not_in_model"}
+            return
+        sd = _load_state_dict(path)
+        if sd is None:
+            provenance[name] = {"status": "missing_file", "path": str(path)}
+            logger.warning(
+                f"pretrained {name} weights not found at {path!r}; "
+                f"{present} {subtree_name!r} subtree(s) stay RANDOM"
+            )
+            return
         try:
-            if any(k.startswith("actor_critic") for k in sd):
-                ported = wp.port_ddppo_depth_checkpoint(sd)
-            else:
-                ported = wp.port_gn_resnet_encoder(sd)
-            n = _replace_named_subtrees(params, "visual_encoder", ported)
-            logger.info(f"loaded DDPPO depth weights into {n} encoder(s)")
+            n = port_fn(sd)
+            provenance[name] = {
+                "status": "loaded" if n else "error", "path": str(path)
+            }
+            logger.info(f"loaded {name} weights into {n} encoder(s)")
         except KeyError as e:
-            logger.warning(f"DDPPO checkpoint missing key {e}; skipped")
+            provenance[name] = {
+                "status": "error", "path": str(path),
+                "detail": f"missing key {e}",
+            }
+            logger.warning(f"{name} checkpoint missing key {e}; skipped")
 
-    # torchvision rgb resnet50
-    sd = _load_state_dict(model_config.RGB_ENCODER.pretrained_weights)
-    if sd is not None:
-        try:
-            p, s = wp.port_tv_resnet50(sd)
-            n = _replace_named_subtrees(params, "cnn", p)
-            m = _replace_named_subtrees(stats, "cnn", s)
-            logger.info(f"loaded ImageNet rgb weights into {n} encoder(s)")
-        except KeyError as e:
-            logger.warning(f"rgb checkpoint missing key {e}; skipped")
+    # DDPPO depth resnet (reference resnet_encoders.py:38-51)
+    def port_depth(sd):
+        if any(k.startswith("actor_critic") for k in sd):
+            ported = wp.port_ddppo_depth_checkpoint(sd)
+        else:
+            ported = wp.port_gn_resnet_encoder(sd)
+        return _replace_named_subtrees(params, "visual_encoder", ported)
 
-    # BERT
-    sd = _load_state_dict(model_config.BERT.pretrained_weights)
-    if sd is not None:
-        try:
-            ported = wp.port_bert(sd, num_layers=model_config.BERT.num_layers)
-            n = _replace_named_subtrees(params, "embedding_layer", ported)
-            logger.info(f"loaded BERT weights into {n} encoder(s)")
-        except KeyError as e:
-            logger.warning(f"BERT checkpoint missing key {e}; skipped")
+    graft_one("ddppo_depth", model_config.DEPTH_ENCODER.ddppo_checkpoint,
+              "visual_encoder", port_depth)
+
+    # torchvision rgb resnet50 (reference resnet_encoders.py:144)
+    def port_rgb(sd):
+        p, s = wp.port_tv_resnet50(sd)
+        n = _replace_named_subtrees(params, "cnn", p)
+        _replace_named_subtrees(stats, "cnn", s)
+        return n
+
+    graft_one("imagenet_rgb", model_config.RGB_ENCODER.pretrained_weights,
+              "cnn", port_rgb)
+
+    # BERT (reference seq2seq_highlevel_cma.py:45)
+    def port_bert_fn(sd):
+        ported = wp.port_bert(sd, num_layers=model_config.BERT.num_layers)
+        return _replace_named_subtrees(params, "embedding_layer", ported)
+
+    graft_one("bert", model_config.BERT.pretrained_weights,
+              "embedding_layer", port_bert_fn)
 
     out = dict(variables)
     out["params"] = params
     if stats:
         out["batch_stats"] = stats
-    return out
+    return out, provenance
 
 
 def export_torch_to_npz(torch_path: str, npz_path: str) -> None:

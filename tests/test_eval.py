@@ -76,6 +76,43 @@ def test_hierarchical_eval_checkpoint(tmp_path, rng):
     ), "PLOT_ATTENTION must write per-episode heatmaps"
 
 
+def test_use_ckpt_config_full_restore(tmp_path):
+    """EVAL.USE_CKPT_CONFIG restores the WHOLE training config (reference
+    robo_vln_trainer.py:1008-1011) — task/dagger-side settings come from the
+    checkpoint, while the eval-invocation settings (EVAL stanza, split
+    overrides) stay from the live config."""
+    from types import SimpleNamespace
+
+    from robo_vln_tpu.config.default import get_config
+    from robo_vln_tpu.eval.evaluator import _eval_config
+
+    train_cfg = get_config().clone().defrost()
+    train_cfg.DAGGER.MAX_INSTRUCTION_LEN = 77  # non-default training settings
+    train_cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH = 99
+    ckpt = tmp_path / "ckpt.0"
+    ckpt.mkdir()
+    with open(ckpt / "framework_metadata.json", "w") as f:
+        json.dump({"config": train_cfg.to_dict()}, f, default=str)
+
+    eval_cfg = get_config().clone().defrost()
+    eval_cfg.EVAL.SPLIT = "val_unseen"
+    eval_cfg.EVAL.EPISODE_COUNT = 5
+    eval_cfg.freeze()
+    cfg = _eval_config(SimpleNamespace(config=eval_cfg), str(ckpt))
+    assert cfg.DAGGER.MAX_INSTRUCTION_LEN == 77  # restored from checkpoint
+    assert cfg.TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH == 99
+    assert cfg.EVAL.SPLIT == "val_unseen"  # eval side reapplied
+    assert cfg.EVAL.EPISODE_COUNT == 5
+    assert cfg.TASK_CONFIG.DATASET.SPLIT == "val_unseen"
+
+    # USE_CKPT_CONFIG=False keeps the eval config untouched
+    off = eval_cfg.clone().defrost()
+    off.EVAL.USE_CKPT_CONFIG = False
+    off.freeze()
+    cfg2 = _eval_config(SimpleNamespace(config=off), str(ckpt))
+    assert cfg2.DAGGER.MAX_INSTRUCTION_LEN != 77
+
+
 def test_cyclic_lr_matches_torch():
     import torch
 

@@ -34,7 +34,9 @@ def test_graft_ddppo_depth(tmp_path, rng):
     x = jnp.asarray(rng.random((1, 64, 64, 1)), jnp.float32)
     variables = enc.init(jax.random.PRNGKey(0), {"depth": x})
 
-    grafted = graft_pretrained(dict(variables), mc)
+    grafted, prov = graft_pretrained(dict(variables), mc)
+    assert prov["ddppo_depth"]["status"] == "loaded"
+    assert prov["imagenet_rgb"]["status"] == "not_in_model"
     # the backbone weights must now equal the torch ones
     got = np.asarray(
         grafted["params"]["visual_encoder"]["backbone"]["conv1"]["kernel"]
@@ -71,7 +73,9 @@ def test_graft_missing_files_noop(tmp_path, rng):
     enc = SimpleCNN(8, "depth")
     x = jnp.asarray(rng.random((1, 64, 64, 1)), jnp.float32)
     variables = enc.init(jax.random.PRNGKey(0), {"depth": x})
-    grafted = graft_pretrained(dict(variables), mc)
+    grafted, prov = graft_pretrained(dict(variables), mc)
+    # SimpleCNN has no visual_encoder/cnn/embedding_layer subtree at all
+    assert all(v["status"] == "not_in_model" for v in prov.values())
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         variables["params"], grafted["params"],
