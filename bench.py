@@ -152,8 +152,6 @@ def measure_tpu_train_fps(batch=4, t=50, reps=5):
         new_state, hh, lh, metrics = step(state, hh, lh, batch_data, 1e-4, 1e-4)
         return new_state, hh, lh, metrics["high_level_loss"]
 
-    import jax
-
     @jax.jit
     def trivial(masks):
         return jnp.mean(masks)

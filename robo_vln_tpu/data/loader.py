@@ -31,6 +31,16 @@ import numpy as np
 from robo_vln_tpu.data import serialization
 from robo_vln_tpu.data.trajectory_store import TrajectoryStore
 
+# Canonical storage/transfer dtypes for the image sensors, applied in the
+# collection buffer (envs/obs_utils.batch_obs_data_collect) AND in collate:
+# rgb stays uint8 end to end (the reference materializes float32 at collate,
+# robo_vln_trainer.py:119-131 — 4x the bytes over the wire; a B=8,T=100
+# 224x224 window is ~480 MB of rgb as f32, ~120 MB as uint8), depth rides as
+# float16 (values in [0,1]; rounding is below sensor noise).  The /255 and
+# cast to compute dtype happen ON DEVICE in the encoders, where XLA fuses
+# them into the first convolution.
+SENSOR_DTYPES = {"rgb": np.uint8, "depth": np.float16}
+
 
 def block_shuffle(lst: List, block_size: int, rng: random.Random) -> List:
     """Shuffle blocks of `block_size` keeping intra-block order
@@ -158,10 +168,10 @@ def collate_batch(
     for k in sensor_keys:
         arr0 = np.asarray(obs0[k])
         shape = (B, T) + arr0.shape[1:]
-        out = np.zeros(shape, np.float32)
+        out = np.zeros(shape, SENSOR_DTYPES.get(k, np.float32))
         for b, s in enumerate(samples):
-            v = np.asarray(s[0][k], np.float32)
-            out[b, : len(v)] = v[:T]
+            v = np.asarray(s[0][k])
+            out[b, : len(v)] = v[:T]  # cast-on-assign for legacy f64 buffers
         batch[k] = out
 
     instruction = np.zeros((B, L), np.int32)

@@ -60,11 +60,19 @@ def batch_obs(observations: Dict, pad_instruction_to: Optional[int] = None) -> D
 
 def batch_obs_data_collect(observations: List[Dict]) -> Dict[str, np.ndarray]:
     """List of per-step obs dicts -> stacked (T, ...) arrays (utils.py:30-57).
-    Ragged instruction ids are right-padded to the max length first."""
+    Ragged instruction ids are right-padded to the max length first.
+
+    Unlike the reference (which casts every sensor to float32 before the
+    buffer write, utils.py:50-56), images keep compact dtypes — rgb uint8,
+    depth float16 (data/loader.SENSOR_DTYPES) — shrinking the trajectory
+    buffer ~4x (the reference's train buffer is ~1.5 TB, README.md:213)."""
+    from robo_vln_tpu.data.loader import SENSOR_DTYPES
+
     keys = observations[0].keys()
     out = {}
     for k in keys:
-        vals = [np.asarray(o[k], np.float64) for o in observations]
+        dt = SENSOR_DTYPES.get(k, np.float32)
+        vals = [np.asarray(o[k]).astype(dt, copy=False) for o in observations]
         if vals[0].ndim >= 1 and len({v.shape for v in vals}) > 1:
             max_len = max(v.shape[-1] for v in vals)
             vals = [

@@ -132,8 +132,16 @@ class HierarchicalTrainer(BaseTrainer):
         scheduler_step = getattr(self, "_scheduler_step", 0)
         from robo_vln_tpu.envs.async_env import DoubleBufferedLoader
 
-        batches = DoubleBufferedLoader(batches, lambda b: b)
-        for batch in batches:
+        # decode/collate + async host->device window transfer in the worker
+        # thread (see trainer.py train_epoch)
+        batches = DoubleBufferedLoader(
+            batches,
+            lambda b: [
+                mesh_lib.shard_batch(self.mesh, w)
+                for w in split_tbptt(b, cfg.DAGGER.tbptt_steps)
+            ],
+        )
+        for windows in batches:
             B = self.global_batch
             hh = jax.device_put(
                 self.high.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
@@ -142,8 +150,7 @@ class HierarchicalTrainer(BaseTrainer):
                 self.low.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
             )
             lr_high = opt_lib.cyclic_triangular_lr(scheduler_step)
-            for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):
-                window = mesh_lib.shard_batch(self.mesh, window)
+            for window in windows:
                 self.state, hh, lh, metrics = self.train_step(
                     self.state, hh, lh, window, lr_high, lr_low
                 )

@@ -43,17 +43,18 @@ from robo_vln_tpu.utils.registry import register_trainer
 
 
 def _dummy_batch(config, batch_size: int, t: int = 2) -> Dict[str, np.ndarray]:
-    """Abstract-init batch with the task's static shapes."""
+    """Abstract-init batch with the task's static shapes and the loader's
+    transfer dtypes (rgb uint8 / depth f16, data/loader.SENSOR_DTYPES)."""
     sim = config.TASK_CONFIG.SIMULATOR
     L = config.DAGGER.MAX_INSTRUCTION_LEN
     return {
         "rgb": np.zeros(
             (batch_size, t, sim.RGB_SENSOR.HEIGHT, sim.RGB_SENSOR.WIDTH, 3),
-            np.float32,
+            np.uint8,
         ),
         "depth": np.zeros(
             (batch_size, t, sim.DEPTH_SENSOR.HEIGHT, sim.DEPTH_SENSOR.WIDTH, 1),
-            np.float32,
+            np.float16,
         ),
         "instruction": np.zeros((batch_size, L), np.int32),
         "progress": np.zeros((batch_size, t), np.float32),
@@ -194,15 +195,22 @@ class RoboVLNTrainer(BaseTrainer):
         lr = cfg.DAGGER.LR
         from robo_vln_tpu.envs.async_env import DoubleBufferedLoader
 
-        # host decode/collate overlapped with device compute
-        batches = DoubleBufferedLoader(batches, lambda b: b)
-        for batch in batches:
+        # host decode/collate AND the host->device copy overlapped with device
+        # compute: the worker thread splits the next batch into TBPTT windows
+        # and device_puts them (async) while the current step runs
+        batches = DoubleBufferedLoader(
+            batches,
+            lambda b: [
+                mesh_lib.shard_batch(self.mesh, w)
+                for w in split_tbptt(b, cfg.DAGGER.tbptt_steps)
+            ],
+        )
+        for windows in batches:
             hidden = jax.device_put(
                 self.policy.initial_hidden(self.global_batch),
                 mesh_lib.hidden_sharding(self.mesh),
             )
-            for window in split_tbptt(batch, cfg.DAGGER.tbptt_steps):
-                window = mesh_lib.shard_batch(self.mesh, window)
+            for window in windows:
                 self.state, hidden, metrics = self.train_step(
                     self.state, hidden, window, lr
                 )

@@ -127,6 +127,40 @@ def test_collate_and_tbptt(tmp_path, rng):
         assert all(w["instruction"].shape == (2, 20) for w in wins)
 
 
+def test_collate_transfer_dtypes(tmp_path, rng):
+    """Host->device transfer dtypes (SENSOR_DTYPES): rgb rides as uint8 and
+    depth as f16 through collate (the reference materializes everything as
+    float32, robo_vln_trainer.py:119-131); values survive the cast."""
+    from robo_vln_tpu.data.loader import SENSOR_DTYPES
+    from robo_vln_tpu.envs.obs_utils import batch_obs_data_collect
+
+    path = str(tmp_path / "traj")
+    with TrajectoryStore(path, writable=True) as store:
+        obs, prev, corr, stop = _make_episode(rng, t=6)
+        write_episode(store, 0, obs, prev, corr, stop)
+        store.flush()
+    ds = TrajectoryDataset(path, batch_size=1, is_bert=True)
+    batch = collate_batch([next(iter(ds))], buckets=[8], max_instruction_len=10)
+    assert batch["rgb"].dtype == np.uint8
+    assert batch["depth"].dtype == np.float16
+    assert batch["instruction"].dtype == np.int32
+    assert batch["corrected_actions"].dtype == np.float32
+    np.testing.assert_array_equal(
+        batch["rgb"][0, :6], obs["rgb"].astype(np.uint8)
+    )
+    np.testing.assert_allclose(
+        batch["depth"][0, :6], obs["depth"], atol=1e-3  # f16 rounding
+    )
+
+    # the collection buffer also stores images compactly (uint8/f16),
+    # shrinking the reference's ~1.5 TB float buffer ~4x
+    stacked = batch_obs_data_collect(
+        [{"rgb": obs["rgb"][i], "depth": obs["depth"][i]} for i in range(3)]
+    )
+    assert stacked["rgb"].dtype == SENSOR_DTYPES["rgb"]
+    assert stacked["depth"].dtype == SENSOR_DTYPES["depth"]
+
+
 def test_pick_bucket():
     assert pick_bucket(1, [100, 200]) == 100
     assert pick_bucket(100, [100, 200]) == 100

@@ -198,7 +198,7 @@ def test_nan_guard_skips_update(tmp_path, rng):
     batch = _dummy_batch(cfg, gb, t=4)
     batch["corrected_actions"][:] = 1.0
     batch["oracle_stop"][:] = 1.0
-    batch["rgb"][0, 0, 0, 0, 0] = np.nan  # poison
+    batch["depth"][0, 0, 0, 0, 0] = np.nan  # poison (rgb is uint8 now)
     hidden = trainer.policy.initial_hidden(gb)
     batch = mesh_lib.shard_batch(trainer.mesh, batch)
     state, hidden, metrics = trainer.train_step(
@@ -433,7 +433,6 @@ def test_tail_batch_loss_scale_matches_full_batch(tmp_path, rng):
         return float(a), float(s)
 
     a_full, s_full = losses_for(2, 2)
-    b = _dummy_batch(cfg, 8, t=4)  # 2 real + 6 padded
-    a_pad, s_pad = losses_for(8, 2)
+    a_pad, s_pad = losses_for(8, 2)  # 2 real + 6 padded
     np.testing.assert_allclose(a_pad, a_full, rtol=1e-5)
     np.testing.assert_allclose(s_pad, s_full, rtol=1e-5)
