@@ -50,18 +50,22 @@ def block_shuffle(lst: List, block_size: int, rng: random.Random) -> List:
     return [x for b in blocks for x in b]
 
 
+def pack_episode(obs: Dict[str, np.ndarray], prev_actions: np.ndarray,
+                 corrected_actions: np.ndarray,
+                 stop_step: Sequence[int]) -> bytes:
+    """Serialize one expert episode in the reference's transposed_ep layout
+    (robo_vln_trainer.py:479-488) — the unit shipped from collection workers
+    to the buffer writer."""
+    return serialization.packb(
+        [dict(obs), np.asarray(prev_actions, np.float64),
+         np.asarray(corrected_actions, np.float64), list(map(int, stop_step))]
+    )
+
+
 def write_episode(store: TrajectoryStore, key: int, obs: Dict[str, np.ndarray],
                   prev_actions: np.ndarray, corrected_actions: np.ndarray,
                   stop_step: Sequence[int]) -> None:
-    """Store one expert episode in the reference's transposed_ep layout
-    (robo_vln_trainer.py:479-488)."""
-    store.put(
-        key,
-        serialization.packb(
-            [dict(obs), np.asarray(prev_actions, np.float64),
-             np.asarray(corrected_actions, np.float64), list(map(int, stop_step))]
-        ),
-    )
+    store.put(key, pack_episode(obs, prev_actions, corrected_actions, stop_step))
 
 
 def pick_bucket(length: int, buckets: Sequence[int]) -> int:

@@ -30,27 +30,108 @@ from robo_vln_tpu.envs.velocity_control import VelocityControl
 from robo_vln_tpu.utils.logging import logger
 
 
+def _make_tokenizer(config, vocab_file: str = ""):
+    if not config.MODEL.INSTRUCTION_ENCODER.is_bert:
+        return None
+    vf = vocab_file or config.get("BERT_VOCAB_FILE", "")
+    return InstructionTokenizer(
+        vf or None, max_len=config.DAGGER.MAX_INSTRUCTION_LEN
+    ) if vf else None
+
+
+def _collection_config(config):
+    """Collection runs on the collection split (reference switches
+    DATASET.SPLIT to DAGGER.COLLECT_DATA_SPLIT, robo_vln_trainer.py:861-866)."""
+    ccfg = config.clone().defrost()
+    split = config.DAGGER.get("COLLECT_DATA_SPLIT", "") or \
+        config.TASK_CONFIG.DATASET.SPLIT
+    ccfg.TASK_CONFIG.DATASET.SPLIT = split
+    ccfg.freeze()
+    return ccfg
+
+
+def _collect_episode(env, config, tokenizer, is_bert, vel_control):
+    """Run ONE expert rollout; returns (obs, prev, corr, stop_steps) or None
+    for NaN-invalid trajectories (robo_vln_trainer.py:438-440)."""
+    episode_steps = []
+    observations = env.reset()
+    observations = transform_obs(
+        observations, config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID,
+        tokenizer=tokenizer, is_bert=is_bert,
+    )
+    ref_path = list(env.habitat_env.current_episode.reference_path) + [
+        env.habitat_env.current_episode.goals[0].position
+    ]
+    follower = ContinuousPathFollower(
+        env.habitat_env._sim, ref_path, waypoint_threshold=0.4
+    )
+    prev_actions = np.zeros((1, 2))
+    is_done = False
+    steps = 0
+    stop_step = 0
+    stop_flag = False
+    vel_control.linear_velocity = np.zeros(3)
+    vel_control.angular_velocity = np.zeros(3)
+    while follower.progress < 1.0:
+        steps += 1
+        if is_done:
+            break
+        follower.update_waypoint()
+        state = env.habitat_env._sim.get_agent_state()
+        if (
+            np.isnan(follower.waypoint).any()
+            or np.isnan(state.position).any()
+            or np.isnan(state.rotation).any()
+        ):
+            return None
+        vel, omega = track_waypoint(
+            follower.waypoint, state, vel_control,
+            progress=follower.progress, dt=config.DAGGER.time_step,
+        )
+        observations, _, done, _ = env.step(vel_control)
+        episode_over, success = done
+        if follower.progress > 0.985 and not stop_flag:
+            stop_step = steps
+            stop_flag = True
+        is_done = episode_over or (success and abs(vel) < 0.005)
+        observations = transform_obs(
+            observations,
+            config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID,
+            tokenizer=tokenizer, is_bert=is_bert,
+        )
+        actions = np.asarray([[vel, omega]], np.float64)
+        episode_steps.append((observations, prev_actions, actions, stop_step))
+        prev_actions = actions
+
+    if not episode_steps:
+        return None
+    traj_obs = batch_obs_data_collect([s[0] for s in episode_steps])
+    return (
+        traj_obs,
+        np.array([s[1][0] for s in episode_steps]),
+        np.array([s[2][0] for s in episode_steps]),
+        [s[3] for s in episode_steps],
+    )
+
+
 def collect_dataset(config, features_dir: str, env=None,
                     update_size: int = None, vocab_file: str = "") -> int:
-    """Collect expert episodes into `features_dir`. Returns episodes written."""
+    """Collect expert episodes into `features_dir`. Returns episodes written.
+
+    NUM_PROCESSES > 1 (and no explicit `env`) fans the rollouts out to
+    process-based workers (the reference's habitat.VectorEnv fork-server
+    role, env_utils.py:117-205) — real simulators hold the GIL in Python
+    code, so threads don't scale collection; processes do."""
     update_size = update_size or config.DAGGER.UPDATE_SIZE
+    if env is None and config.NUM_PROCESSES > 1:
+        return _collect_dataset_parallel(
+            config, features_dir, update_size, vocab_file
+        )
     is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
-    tokenizer = None
-    if is_bert:
-        vf = vocab_file or config.get("BERT_VOCAB_FILE", "")
-        tokenizer = InstructionTokenizer(
-            vf or None, max_len=config.DAGGER.MAX_INSTRUCTION_LEN
-        ) if vf else None
+    tokenizer = _make_tokenizer(config, vocab_file)
     own_env = env is None
     if env is None:
-        # collection runs on the collection split (reference switches
-        # DATASET.SPLIT to DAGGER.COLLECT_DATA_SPLIT, robo_vln_trainer.py:861-866)
-        ccfg = config.clone().defrost()
-        split = config.DAGGER.get("COLLECT_DATA_SPLIT", "") or \
-            config.TASK_CONFIG.DATASET.SPLIT
-        ccfg.TASK_CONFIG.DATASET.SPLIT = split
-        ccfg.freeze()
-        env = construct_env(ccfg)
+        env = construct_env(_collection_config(config))
 
     vel_control = VelocityControl()
     collected = 0
@@ -58,70 +139,9 @@ def collect_dataset(config, features_dir: str, env=None,
     try:
         start_id = len(store)
         for _ in range(update_size):
-            episode_steps = []
-            observations = env.reset()
-            observations = transform_obs(
-                observations, config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID,
-                tokenizer=tokenizer, is_bert=is_bert,
-            )
-            ref_path = list(env.habitat_env.current_episode.reference_path) + [
-                env.habitat_env.current_episode.goals[0].position
-            ]
-            follower = ContinuousPathFollower(
-                env.habitat_env._sim, ref_path, waypoint_threshold=0.4
-            )
-            prev_actions = np.zeros((1, 2))
-            is_done = False
-            steps = 0
-            stop_step = 0
-            stop_flag = False
-            valid = True
-            vel_control.linear_velocity = np.zeros(3)
-            vel_control.angular_velocity = np.zeros(3)
-            while follower.progress < 1.0:
-                steps += 1
-                if is_done:
-                    break
-                follower.update_waypoint()
-                state = env.habitat_env._sim.get_agent_state()
-                if (
-                    np.isnan(follower.waypoint).any()
-                    or np.isnan(state.position).any()
-                    or np.isnan(state.rotation).any()
-                ):
-                    valid = False
-                    break
-                vel, omega = track_waypoint(
-                    follower.waypoint, state, vel_control,
-                    progress=follower.progress, dt=config.DAGGER.time_step,
-                )
-                observations, _, done, _ = env.step(vel_control)
-                episode_over, success = done
-                if follower.progress > 0.985 and not stop_flag:
-                    stop_step = steps
-                    stop_flag = True
-                is_done = episode_over or (success and abs(vel) < 0.005)
-                observations = transform_obs(
-                    observations,
-                    config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID,
-                    tokenizer=tokenizer, is_bert=is_bert,
-                )
-                actions = np.asarray([[vel, omega]], np.float64)
-                episode_steps.append(
-                    (observations, prev_actions, actions, stop_step)
-                )
-                prev_actions = actions
-
-            if valid and episode_steps:
-                traj_obs = batch_obs_data_collect([s[0] for s in episode_steps])
-                write_episode(
-                    store,
-                    start_id + collected,
-                    traj_obs,
-                    np.array([s[1][0] for s in episode_steps]),
-                    np.array([s[2][0] for s in episode_steps]),
-                    [s[3] for s in episode_steps],
-                )
+            ep = _collect_episode(env, config, tokenizer, is_bert, vel_control)
+            if ep is not None:
+                write_episode(store, start_id + collected, *ep)
                 collected += 1
                 if collected % config.DAGGER.LMDB_COMMIT_FREQUENCY == 0:
                     store.flush()
@@ -131,4 +151,104 @@ def collect_dataset(config, features_dir: str, env=None,
         if own_env:
             env.close()
     logger.info(f"collected {collected} expert episodes -> {features_dir}")
+    return collected
+
+
+# ---------------------------------------------------------------------------
+# process-based collection workers
+# ---------------------------------------------------------------------------
+
+def _collection_worker(config_dict, n_episodes: int, worker_idx: int,
+                       num_workers: int, scenes, queue) -> None:
+    """Child-process body: build THIS worker's env (round-robin scene split,
+    reference construct_envs env_utils.py:117-205), roll out `n_episodes`
+    expert episodes, ship each as packed bytes through the queue.  Spawned
+    (not forked): the parent may hold initialized JAX/tunnel threads that are
+    not fork-safe; the worker path imports no jax."""
+    from robo_vln_tpu.config.tree import ConfigTree
+    from robo_vln_tpu.data.loader import pack_episode
+
+    config = ConfigTree(config_dict)
+    config = _collection_config(config)
+    if scenes:
+        config = config.clone().defrost()
+        config.TASK_CONFIG.DATASET.CONTENT_SCENES = (
+            scenes[worker_idx::num_workers] or scenes
+        )
+        config.freeze()
+    is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
+    tokenizer = _make_tokenizer(config)
+    env = construct_env(config)
+    vel_control = VelocityControl()
+    try:
+        for _ in range(n_episodes):
+            ep = _collect_episode(env, config, tokenizer, is_bert, vel_control)
+            queue.put(pack_episode(*ep) if ep is not None else None)
+    finally:
+        env.close()
+
+
+def _collect_dataset_parallel(config, features_dir: str, update_size: int,
+                              vocab_file: str = "") -> int:
+    import multiprocessing as mp
+
+    n = int(config.NUM_PROCESSES)
+    ctx = mp.get_context("spawn")
+    queue = ctx.Queue(maxsize=4 * n)
+    scenes = []
+    if config.TASK_CONFIG.SIMULATOR.TYPE == "kinematic":
+        from robo_vln_tpu.data.dataset import VLNCEDatasetV1
+
+        try:
+            scenes = VLNCEDatasetV1.get_scenes_to_load(
+                _collection_config(config).TASK_CONFIG.DATASET
+            )
+        except FileNotFoundError:
+            scenes = []
+    per = [update_size // n + (1 if i < update_size % n else 0)
+           for i in range(n)]
+    procs = [
+        ctx.Process(
+            target=_collection_worker,
+            args=(config.to_dict(), per[i], i, n, scenes, queue),
+            daemon=True,
+        )
+        for i in range(n) if per[i] > 0
+    ]
+    for p in procs:
+        p.start()
+    collected = 0
+    store = TrajectoryStore(features_dir, writable=True)
+    try:
+        import queue as queue_mod
+
+        start_id = len(store)
+        for _ in range(update_size):
+            while True:
+                try:
+                    payload = queue.get(timeout=15)
+                    break
+                except queue_mod.Empty:
+                    if not any(p.is_alive() for p in procs) and queue.empty():
+                        raise RuntimeError(
+                            "collection workers exited before delivering all "
+                            f"episodes ({collected}/{update_size} written)"
+                        )
+            if payload is None:
+                continue
+            store.put(start_id + collected, payload)
+            collected += 1
+            if collected % config.DAGGER.LMDB_COMMIT_FREQUENCY == 0:
+                store.flush()
+        store.flush()
+    finally:
+        store.close()
+        for p in procs:
+            p.join(timeout=60)
+            if p.is_alive():
+                p.terminate()
+    logger.info(
+        f"collected {collected} expert episodes -> {features_dir} "
+        f"({len(procs)} worker processes)"
+    )
     return collected

@@ -202,6 +202,30 @@ def test_collection_writes_buffer(tmp_path):
     assert corr[:, 0].min() < -0.3
 
 
+def test_collection_multiprocess_workers(tmp_path):
+    """NUM_PROCESSES>1 collection: spawned worker processes roll out the
+    expert in parallel (the reference habitat.VectorEnv fork-server role,
+    env_utils.py:117-205) and the master writes one shared buffer."""
+    from robo_vln_tpu.data.loader import TrajectoryDataset
+    from robo_vln_tpu.envs.collection import collect_dataset
+
+    cfg = kinematic_config(tmp_path, make_episode_json(tmp_path, n_eps=4))
+    cfg.DAGGER.UPDATE_SIZE = 4
+    cfg.NUM_PROCESSES = 2
+    cfg.MODEL.INSTRUCTION_ENCODER.is_bert = False
+    cfg.freeze()
+    out = str(tmp_path / "collected_mp")
+    n = collect_dataset(cfg, out)
+    assert n == 4
+
+    ds = TrajectoryDataset(out, batch_size=1, is_bert=False)
+    assert ds.length == 4
+    for obs, prev, corr, ostop in ds:
+        assert corr.shape[1] == 2
+        assert len(corr) > 10
+        assert corr[:, 0].min() < -0.3  # real expert rollouts in every slot
+
+
 def test_nonlearning_agents(tmp_path):
     from robo_vln_tpu.agents.nonlearning import evaluate_agent
 
