@@ -355,9 +355,24 @@ class HabitatEnv(_BaseEnv):
     VelocityControl dataclasses, converted to habitat_sim VelocityControl at
     the boundary.  Rewards are zero and done is the
     (episode_over, geodesic < SUCCESS_DISTANCE) pair like VLNCEDaggerEnv.
-    Requires the habitat-sim/habitat-lab velocity-control forks (reference
-    README.md:63-76) — not present in this image, so this path is exercised
-    only where those are installed.
+
+    Assumed fork API surface (yacs-era habitat-lab ~0.1.x as pinned by the
+    reference README.md:63-76; contract-tested against mocked modules in
+    tests/test_habitat_adapter.py):
+      habitat.get_config() -> yacs node with defrost/merge_from_other_cfg/freeze
+      habitat.Config(init_dict=dict)  (yacs CN constructor)
+      habitat.Env(config=cfg): .reset(), .step(action_dict), .episode_over,
+        .current_episode, .get_metrics(), .sim, .task.actions, .close()
+      env.sim: .get_agent_state() -> state with .position and quaternion
+        .rotation (w/x/y/z attrs), .geodesic_distance(a, b),
+        .set_agent_state(position, rotation), .get_sensor_observations()
+      habitat_sim.physics.VelocityControl: controlling_lin_vel,
+        lin_vel_is_local, controlling_ang_vel, ang_vel_is_local,
+        linear_velocity, angular_velocity, .integrate_transform(dt, rigid)
+      habitat_sim.RigidState(rotation, position) -> .translation/.rotation
+    Forks exposing a registered VELOCITY_CONTROL task action get the
+    action-dict path; otherwise the adapter integrates the rigid state
+    directly (fork semantics) and re-renders.
     """
 
     def __init__(self, config):

@@ -23,6 +23,15 @@ Latency structure per tick:
 Set ROBO_VLN_EVAL_SERIAL=1 to force the fully serial reference ordering
 (used to measure the overlap win).
 
+Honest bound (measured round 2, single env + video: 40.1 -> 45.1 steps/s,
+1.12x): the single-env tick is dominated by the ~26 ms tunneled device
+dispatch + the device->host action fetch — an inherently serial dependency
+(the sim cannot step before the action arrives), so host-side overlap can
+only hide the ~1 ms bookkeeping, not the dispatch.  The real lever is
+EVAL.NUM_ENVS > 1 (the batched driver below): one dispatch amortizes over N
+envs — measured 6.2x at NUM_ENVS=8.  Use the single-env driver when videos /
+attention plots are needed; use batched eval for throughput.
+
 Preserved reference quirks:
 * omega clipped to +/-1.0 at actuation (robo_vln_trainer.py:1117-1119);
 * `episode_success = success and (lin_vel < 0.25 or stop_pred == 1)` uses the

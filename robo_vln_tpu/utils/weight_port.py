@@ -45,9 +45,25 @@ def to_numpy_state_dict(state_dict) -> Dict[str, np.ndarray]:
 _BLOCKS = (3, 4, 6, 3)
 
 
-def port_gn_resnet_encoder(sd: Mapping[str, np.ndarray], blocks=_BLOCKS) -> Dict:
+def _infer_blocks(sd: Mapping[str, np.ndarray], key_fmt: str):
+    """Stage depths from the state-dict keys themselves (e.g. a reduced-depth
+    test checkpoint); falls back to ResNet50's (3,4,6,3) when nothing
+    matches."""
+    blocks = []
+    for li in range(1, 5):
+        bi = 0
+        while key_fmt.format(li=li, bi=bi) in sd:
+            bi += 1
+        blocks.append(bi)
+    return tuple(blocks) if all(blocks) else _BLOCKS
+
+
+def port_gn_resnet_encoder(sd: Mapping[str, np.ndarray], blocks=None) -> Dict:
     """Keys relative to habitat's ResNetEncoder (``backbone.*``,
-    ``compression.*``) -> params for GNResNetEncoder."""
+    ``compression.*``) -> params for GNResNetEncoder.  blocks=None infers the
+    stage depths from the keys."""
+    if blocks is None:
+        blocks = _infer_blocks(sd, "backbone.layer{li}.{bi}.convs.0.weight")
     p: Dict = {"backbone": {}}
     bb = p["backbone"]
     bb["conv1"] = {"kernel": _conv(sd["backbone.conv1.0.weight"])}
@@ -99,8 +115,11 @@ def port_ddppo_depth_checkpoint(ckpt_state_dict: Mapping[str, np.ndarray]) -> Di
 # torchvision ResNet50 (rgb)
 # ---------------------------------------------------------------------------
 
-def port_tv_resnet50(sd: Mapping[str, np.ndarray], blocks=_BLOCKS) -> Tuple[Dict, Dict]:
-    """torchvision resnet50 state_dict -> (params, batch_stats) for TVResNet50."""
+def port_tv_resnet50(sd: Mapping[str, np.ndarray], blocks=None) -> Tuple[Dict, Dict]:
+    """torchvision resnet50 state_dict -> (params, batch_stats) for TVResNet50.
+    blocks=None infers the stage depths from the keys."""
+    if blocks is None:
+        blocks = _infer_blocks(sd, "layer{li}.{bi}.conv1.weight")
     params: Dict = {}
     stats: Dict = {}
 

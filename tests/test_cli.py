@@ -209,6 +209,118 @@ def test_cli_convert_ckpt_script(tmp_path, rng):
     assert "ndtw" in stats
 
 
+def test_cli_real_data_formats_runbook(tmp_path, rng):
+    """docs/RUNBOOK.md readiness (VERDICT r2 #5): format-identical
+    micro-fixtures for EVERY real-data artifact — episodes
+    {split}/{split}.json.gz, GT {split}/{split}_gt.json.gz, GloVe
+    embeddings.json.gz, DDPPO/torchvision weight files (.npz key layouts
+    identical to the torch exports, reduced stage depths) — drive
+    run.py collect->train then eval with no code edits."""
+    import gzip
+
+    import torch
+
+    from tests.test_encoders import GNResNetEncoderT, TVResNetT
+    from tests.test_envs import make_episode_json
+
+    # 1. episodes at the real directory layout data/datasets/robo_vln_v1/
+    #    {split}/{split}.json.gz (reference robo_vln_task.yaml:49)
+    split_dir = tmp_path / "datasets" / "train"
+    split_dir.mkdir(parents=True)
+    made = make_episode_json(tmp_path, n_eps=2)
+    os.replace(made, split_dir / "train.json.gz")
+    data_tpl = str(tmp_path / "datasets" / "{split}" / "{split}.json.gz")
+
+    # 2. ground-truth locations (reference measures.py:299-310 layout)
+    gt = {
+        str(i): {"locations": [[0.0, 0.0, 0.0], [0.0, 0.0, -2.0],
+                               [2.0, 0.0, -4.0 - i]]}
+        for i in range(2)
+    }
+    with gzip.open(split_dir / "train_gt.json.gz", "wt") as f:
+        json.dump(gt, f)
+    gt_tpl = str(tmp_path / "datasets" / "{split}" / "{split}_gt.json.gz")
+
+    # 3. GloVe embeddings.json.gz: json list of vectors (reference
+    #    instruction_encoder.py:66-67)
+    emb = rng.standard_normal((60, 8)).tolist()
+    with gzip.open(tmp_path / "embeddings.json.gz", "wt") as f:
+        json.dump(emb, f)
+
+    # 4. frozen-trunk weight files in the documented formats
+    torch.manual_seed(0)
+    depth_sd = GNResNetEncoderT(
+        in_ch=1, spatial=256, blocks=(1, 1, 1, 1)
+    ).state_dict()
+    np.savez(tmp_path / "ddppo.npz",
+             **{k: v.numpy() for k, v in depth_sd.items()})
+    rgb_sd = TVResNetT(blocks=(1, 1, 1, 1)).state_dict()
+    np.savez(tmp_path / "resnet50.npz",
+             **{k: v.numpy() for k, v in rgb_sd.items()})
+
+    ov = [
+        "DAGGER.BATCH_SIZE", "1",
+        "DAGGER.EPOCHS", "1",
+        "DAGGER.UPDATE_SIZE", "2",
+        "DAGGER.PRELOAD_LMDB_FEATURES", "False",
+        "DAGGER.tbptt_steps", "4",
+        "DAGGER.EPISODE_LEN_BUCKETS", "[4, 8]",
+        "DAGGER.MAX_INSTRUCTION_LEN", "12",
+        "DAGGER.LMDB_FEATURES_DIR", str(tmp_path / "buf"),
+        "DAGGER.LMDB_EVAL_DIR", str(tmp_path / "none"),
+        "CHECKPOINT_FOLDER", str(tmp_path / "ckpts"),
+        "TENSORBOARD_DIR", str(tmp_path / "tb"),
+        "LOG_FILE", str(tmp_path / "train.log"),
+        "TASK_CONFIG.SIMULATOR.TYPE", "kinematic",
+        "TASK_CONFIG.DATASET.DATA_PATH", data_tpl,
+        "TASK_CONFIG.TASK.NDTW.GT_PATH", gt_tpl,
+        "TASK_CONFIG.TASK.SDTW.GT_PATH", gt_tpl,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", "64",
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", "64",
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", "64",
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", "64",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "10",
+        "MODEL.DEPTH_ENCODER.blocks", "[1, 1, 1, 1]",
+        "MODEL.RGB_ENCODER.blocks", "[1, 1, 1, 1]",
+        "MODEL.DEPTH_ENCODER.output_size", "8",
+        "MODEL.RGB_ENCODER.output_size", "16",
+        "MODEL.STATE_ENCODER.hidden_size", "32",
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", "True",
+        "MODEL.INSTRUCTION_ENCODER.embedding_file",
+        str(tmp_path / "embeddings.json.gz"),
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", "60",
+        "MODEL.INSTRUCTION_ENCODER.embedding_size", "8",
+        "MODEL.INSTRUCTION_ENCODER.hidden_size", "16",
+        "MODEL.DEPTH_ENCODER.ddppo_checkpoint", str(tmp_path / "ddppo.npz"),
+        "MODEL.RGB_ENCODER.pretrained_weights", str(tmp_path / "resnet50.npz"),
+        "EVAL.SPLIT", "train",
+        "EVAL.EPISODE_COUNT", "1",
+        "EVAL.VAL_LOG_DIR", str(tmp_path / "val_logs"),
+    ]
+    proc = _run_cli(
+        ["--run-type", "train",
+         "--exp-config", "robo_vln_tpu/config/configs/seq2seq_robo.yaml"] + ov
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:]
+    assert "loaded ddppo_depth weights" in proc.stdout
+    assert "loaded imagenet_rgb weights" in proc.stdout
+
+    proc = _run_cli(
+        ["--run-type", "eval",
+         "--exp-config", "robo_vln_tpu/config/configs/seq2seq_robo.yaml"]
+        + ov + ["EVAL_CKPT_PATH_DIR", str(tmp_path / "ckpts")]
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:]
+    stats = json.load(
+        open(os.path.join(tmp_path, "val_logs", "stats_ckpt_0_train.json"))
+    )
+    assert "ndtw" in stats
+    prov = stats["pretrained_backbones"]
+    assert prov["ddppo_depth"]["status"] == "loaded"
+    assert prov["imagenet_rgb"]["status"] == "loaded"
+    assert prov["bert"]["status"] == "not_in_model"
+
+
 def test_cli_eval_and_nonlearning(tmp_path, rng):
     """run.py --run-type eval: checkpoint-folder polling dispatch, and the
     EVAL.EVAL_NONLEARNING branch (reference run.py:62)."""
