@@ -64,11 +64,26 @@ def measure_tpu_fps(batch=4, t=50, reps=7):
         compute_dtype=dtype,
     )
 
+    # production path: frozen trunks identical between the modules -> one
+    # shared ResNet pass per modality (TPU.SHARE_FROZEN_TRUNKS).
+    # BENCH_NO_SHARE=1 measures the faithful two-pass forward.
+    share = not os.environ.get("BENCH_NO_SHARE")
+    trunk_fn = None
+    if share:
+        lparams = g._sync_frozen_trunks(hparams, lparams)
+        from robo_vln_tpu.models import make_shared_trunk_fn
+
+        trunk_fn = make_shared_trunk_fn(
+            cfg.MODEL, dtype, {"batch_stats": hparams["batch_stats"]}
+        )
+
     # params MUST be jit arguments: closed-over arrays are serialized as
     # constants into the remote-compile request, which rejects model-sized
     # bodies with HTTP 413 (docs/TPU_ENV_NOTES.md)
     @jax.jit
     def fwd(hparams, lparams, obs, masks, prev, hh, lh):
+        if trunk_fn is not None:
+            obs = {**obs, **trunk_fn(hparams["params"], obs)}
         logits, hh = high.apply(hparams, obs, hh, prev, masks)
         pred = jnp.argmax(logits, axis=-1)
         actions, stop, lh = low.apply(lparams, obs, lh, prev, masks, pred)
@@ -106,9 +121,19 @@ def measure_tpu_train_fps(batch=4, t=50, reps=5):
     )
     mesh = mesh_lib.make_mesh([1, 1], ["data", "model"], jax.devices()[:1])
 
+    # shared frozen trunks (production invariant; BENCH_NO_SHARE=1 compares)
+    share = not os.environ.get("BENCH_NO_SHARE")
+    if share:
+        lparams = g._sync_frozen_trunks(hparams, lparams)
+
     hp, lp = hparams["params"], lparams["params"]
     h_extra = {k: v for k, v in hparams.items() if k != "params"}
     l_extra = {k: v for k, v in lparams.items() if k != "params"}
+    trunk_fn = None
+    if share:
+        from robo_vln_tpu.models import make_shared_trunk_fn
+
+        trunk_fn = make_shared_trunk_fn(cfg.MODEL, dtype, h_extra)
 
     class _B:
         def __init__(self, policy, extra):
@@ -128,7 +153,7 @@ def measure_tpu_train_fps(batch=4, t=50, reps=5):
     # needs saving and full-graph remat only re-runs them (1384 -> 2231 f/s)
     step = steps_lib.make_hier_train_step(
         _B(high, h_extra), _B(low, l_extra), tx_h, tx_l, mesh,
-        donate=False, remat=False,
+        donate=False, remat=False, trunk_fn=trunk_fn,
     )
 
     rng = np.random.default_rng(1)

@@ -46,6 +46,12 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.REMAT = False
 _C.TPU.DONATE = True  # donate train state buffers in the jitted step
 _C.TPU.USE_PALLAS = True  # fused kernels where profitable (falls back off-TPU)
+# Compute the frozen conv trunks (DDPPO depth + torchvision rgb ResNet50s)
+# ONCE per hierarchical step and feed both policies — the reference runs
+# them twice with identical frozen weights (resnet_encoders.py:35-51,144).
+# Auto-disabled (with a log line) when the two policies' trunk weights are
+# not bitwise identical, so correctness never depends on the flag.
+_C.TPU.SHARE_FROZEN_TRUNKS = True
 # fused attention kernel (ops/pallas_attention.py): parity-tested but measured
 # SLOWER than XLA at HCM shapes on v5e (N=200,L=200,S=16,h=4: 960us vs 149us —
 # the op is too small; XLA's batched dot_general wins), so off by default

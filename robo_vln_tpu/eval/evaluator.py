@@ -599,8 +599,14 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
         cm_attention.set_sow_attention(True)
     att_buf = []
 
+    # shared frozen-trunk forward (one ResNet pass per modality per tick for
+    # BOTH modules) — safe-guarded by the weight-identity check
+    trunk_fn = trainer._maybe_trunk_fn()
+
     @jax.jit
     def step_fn(hp, lp, obs, hh, lh, prev, mask):
+        if trunk_fn is not None:
+            obs = {**obs, **trunk_fn(hp, obs)}
         if plot_attention:
             (logits, hh), inter = high_b.apply(
                 {"params": hp}, obs, hh, prev, mask,

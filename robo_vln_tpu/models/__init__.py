@@ -50,6 +50,119 @@ def build_hierarchical_policies(model_config, num_sub_tasks=4,
     return high, low
 
 
+# ---------------------------------------------------------------------------
+# Frozen-trunk sharing (TPU.SHARE_FROZEN_TRUNKS)
+#
+# The reference's high AND low modules each own a frozen DDPPO depth ResNet50
+# and a frozen torchvision ResNet50, loaded from the SAME weight files and
+# never trained (resnet_encoders.py:35-51,144; seq2seq_lowlevel.py:21-162) —
+# so the combined hierarchical step runs the two dominant conv trunks TWICE
+# on identical inputs with identical weights.  XLA cannot CSE across distinct
+# parameter arrays, so the dedup is done here: compute each trunk ONCE (with
+# the high level's copies) and feed both policies precomputed features.
+# Guarded by an exact weight-equality check — policies whose trunk copies
+# differ (deliberately, or randomly initialized in tests) fall back to the
+# faithful two-pass forward.
+# ---------------------------------------------------------------------------
+
+import jax as _jax
+import numpy as _np
+
+
+def _subtree(tree, path):
+    node = tree
+    for k in path:
+        if not isinstance(node, dict) or k not in node:
+            return None
+        node = node[k]
+    return node
+
+
+_TRUNK_PATHS = (
+    ("rgb_encoder", "cnn"),
+    ("depth_encoder", "visual_encoder"),
+)
+
+
+def frozen_trunks_identical(high_params, low_params, high_extra=None,
+                            low_extra=None) -> bool:
+    """True iff both policies hold bitwise-identical frozen trunk weights
+    (params and BN stats) — the precondition for sharing trunk compute."""
+    trees = [(high_params, low_params)]
+    hb = (high_extra or {}).get("batch_stats", {})
+    lb = (low_extra or {}).get("batch_stats", {})
+    trees.append((hb, lb))
+    for ht, lt in trees:
+        for path in _TRUNK_PATHS:
+            a, b = _subtree(ht, path), _subtree(lt, path)
+            if a is None or b is None:
+                if a is not b:
+                    return False
+                continue
+            la, lb_ = _jax.tree.leaves(a), _jax.tree.leaves(b)
+            if len(la) != len(lb_):
+                return False
+            for x, y in zip(la, lb_):
+                x, y = _np.asarray(x), _np.asarray(y)
+                if x.shape != y.shape or not _np.array_equal(x, y):
+                    return False
+    return True
+
+
+def make_shared_trunk_fn(model_config, compute_dtype, high_extra):
+    """(high_params, obs) -> {"rgb_features", "depth_features"} computed ONCE
+    with the high level's frozen trunks; both policies consume the features
+    through the encoders' precomputed-feature path (encoders/visual.py).
+
+    Note: closes over the (small, frozen) BN stats — params stay jit
+    arguments per the remote-compile rule (docs/TPU_ENV_NOTES.md)."""
+    from robo_vln_tpu.models.encoders.resnet import GNResNetEncoder, TVResNet50
+
+    mc = model_config
+    gn = GNResNetEncoder(
+        spatial_size=256, blocks=tuple(mc.DEPTH_ENCODER.blocks),
+        compute_dtype=compute_dtype,
+    )
+    tv = TVResNet50(
+        blocks=tuple(mc.RGB_ENCODER.blocks), compute_dtype=compute_dtype
+    )
+    bn_stats = _subtree(
+        (high_extra or {}).get("batch_stats", {}), ("rgb_encoder", "cnn")
+    ) or {}
+
+    def trunk_fn(high_params, observations):
+        rgb, depth = observations["rgb"], observations["depth"]
+        single = rgb.ndim == 4
+        rgb5 = rgb[:, None] if single else rgb
+        depth5 = depth[:, None] if single else depth
+        b, t = rgb5.shape[:2]
+        n = b * t
+        rgb_flat = rgb5.reshape((n,) + rgb5.shape[2:])
+        depth_flat = depth5.reshape((n,) + depth5.shape[2:])
+        # exact mirror of RGBEncoder/DepthEncoder trunk forwards
+        # (encoders/visual.py:110-121, :57-70)
+        rgb_map = tv.apply(
+            {"params": high_params["rgb_encoder"]["cnn"],
+             "batch_stats": bn_stats},
+            rgb_flat.astype(compute_dtype) / 255.0,
+        )
+        depth_map = gn.apply(
+            {"params": high_params["depth_encoder"]["visual_encoder"]},
+            depth_flat,
+        )
+        lead = (b,) if single else (b, t)
+        return {
+            "rgb_features": _jax.lax.stop_gradient(
+                rgb_map.reshape(lead + rgb_map.shape[1:])
+            ),
+            "depth_features": _jax.lax.stop_gradient(
+                depth_map.reshape(lead + depth_map.shape[1:])
+            ),
+        }
+
+    return trunk_fn
+
+
 __all__ = [
     "CMAPolicy",
     "HighLevelPolicy",

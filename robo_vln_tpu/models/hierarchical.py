@@ -36,6 +36,18 @@ from robo_vln_tpu.models.rnn_state_encoder import RNNStateEncoder
 from robo_vln_tpu.models.transformer import VisualLingAttn
 
 
+def _visual_obs(observations, key: str, n: int):
+    """Encoder input for one modality: precomputed trunk features when the
+    step shares frozen trunks (models.make_shared_trunk_fn), raw frames
+    otherwise; time folded into batch either way."""
+    fkey = f"{key}_features"
+    if fkey in observations:
+        v = observations[fkey]
+        return {fkey: v.reshape((n,) + v.shape[2:])}
+    v = observations[key]
+    return {key: v.reshape((n,) + v.shape[2:])}
+
+
 class HighLevelPolicy(nn.Module):
     model_config: Any
     num_actions: int = 4
@@ -112,11 +124,9 @@ class HighLevelPolicy(nn.Module):
 
         b, t = observations["rgb"].shape[:2]
         n = b * t
-        rgb = observations["rgb"].reshape((n,) + observations["rgb"].shape[2:])
-        depth = observations["depth"].reshape((n,) + observations["depth"].shape[2:])
 
-        depth_tokens = self.depth_encoder({"depth": depth})
-        rgb_tokens = self.rgb_encoder({"rgb": rgb})
+        depth_tokens = self.depth_encoder(_visual_obs(observations, "depth", n))
+        rgb_tokens = self.rgb_encoder(_visual_obs(observations, "rgb", n))
         if mc.ablate_depth:
             depth_tokens = depth_tokens * 0
         if mc.ablate_rgb:
@@ -221,11 +231,11 @@ class LowLevelPolicy(nn.Module):
 
         b, t = observations["rgb"].shape[:2]
         n = b * t
-        rgb = observations["rgb"].reshape((n,) + observations["rgb"].shape[2:])
-        depth = observations["depth"].reshape((n,) + observations["depth"].shape[2:])
 
-        depth_embedding = self.depth_encoder({"depth": depth})
-        rgb_embedding = self.rgb_encoder({"rgb": rgb})
+        depth_embedding = self.depth_encoder(
+            _visual_obs(observations, "depth", n)
+        )
+        rgb_embedding = self.rgb_encoder(_visual_obs(observations, "rgb", n))
         if mc.ablate_depth:
             depth_embedding = depth_embedding * 0
         if mc.ablate_rgb:

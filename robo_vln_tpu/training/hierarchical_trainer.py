@@ -111,11 +111,43 @@ class HierarchicalTrainer(BaseTrainer):
 
         high_b = _bind(self.high, self._high_extra)
         low_b = _bind(self.low, self._low_extra)
+        trunk_fn = self._maybe_trunk_fn()
         self.train_step = steps_lib.make_hier_train_step(
             high_b, low_b, self.tx_high, self.tx_low, self.mesh,
-            donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT,
+            donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT, trunk_fn=trunk_fn,
         )
-        self.val_step = steps_lib.make_hier_val_step(high_b, low_b)
+        self.val_step = steps_lib.make_hier_val_step(
+            high_b, low_b, trunk_fn=trunk_fn
+        )
+
+    def _maybe_trunk_fn(self):
+        """Shared frozen-trunk forward when enabled AND safe (both policies
+        hold bitwise-identical trunk weights — true whenever the trunks come
+        from the same pretrained files or the same converted checkpoint).
+        Called fresh after any weight load so the check sees current state."""
+        from robo_vln_tpu.models import (
+            frozen_trunks_identical, make_shared_trunk_fn, resolve_dtype,
+        )
+
+        cfg = self.config
+        if not cfg.TPU.get("SHARE_FROZEN_TRUNKS", True):
+            return None
+        if not frozen_trunks_identical(
+            self.state.high.params, self.state.low.params,
+            self._high_extra, self._low_extra,
+        ):
+            logger.info(
+                "frozen trunk weights differ between high/low policies; "
+                "trunk sharing disabled (two-pass forward)"
+            )
+            return None
+        logger.info(
+            "frozen trunks identical: sharing one ResNet pass per modality "
+            "across both policies (TPU.SHARE_FROZEN_TRUNKS)"
+        )
+        return make_shared_trunk_fn(
+            cfg.MODEL, resolve_dtype(cfg.TPU.PRECISION), self._high_extra
+        )
 
     def save_checkpoint(self, file_name: str) -> None:
         path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)

@@ -144,7 +144,7 @@ def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0):
 
 
 def _hier_losses(high, low, high_params, low_params, batch,
-                 high_hidden, low_hidden, dropout_rng=None):
+                 high_hidden, low_hidden, dropout_rng=None, trunk_fn=None):
     obs = {
         k: batch[k]
         for k in batch
@@ -153,6 +153,10 @@ def _hier_losses(high, low, high_params, low_params, batch,
             "not_done_masks", "valid_mask", "vln_oracle_action_sensor",
         )
     }
+    if trunk_fn is not None:
+        # frozen conv trunks computed ONCE, consumed by BOTH policies
+        # (models.make_shared_trunk_fn — the reference runs them twice)
+        obs = {**obs, **trunk_fn(high_params, obs)}
     oracle = batch["vln_oracle_action_sensor"]
     b, t = batch["not_done_masks"].shape
     oracle_flat = oracle.reshape(-1).astype(jnp.int32)
@@ -189,13 +193,15 @@ def _hier_losses(high, low, high_params, low_params, batch,
 
 
 def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
-                         remat=False):
+                         remat=False, trunk_fn=None):
     """One program, two optimizers (AdamW high / Adam low), two LRs.
 
     remat=True (TPU.REMAT): rematerialize the forward in the backward pass
-    (see make_flat_train_step)."""
+    (see make_flat_train_step).
+    trunk_fn: shared frozen-trunk forward (TPU.SHARE_FROZEN_TRUNKS) — halves
+    the dominant ResNet FLOPs when both policies hold identical trunks."""
 
-    losses_fn = functools.partial(_hier_losses, high, low)
+    losses_fn = functools.partial(_hier_losses, high, low, trunk_fn=trunk_fn)
     if remat:
         losses_fn = jax.checkpoint(losses_fn)
 
@@ -261,10 +267,11 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
     return jax.jit(step_fn, donate_argnums=donate_args)
 
 
-def make_hier_val_step(high, low):
+def make_hier_val_step(high, low, trunk_fn=None):
     def step_fn(high_params, low_params, high_hidden, low_hidden, batch):
         hl, lla, lls, nhh, nlh, acc = _hier_losses(
-            high, low, high_params, low_params, batch, high_hidden, low_hidden
+            high, low, high_params, low_params, batch, high_hidden, low_hidden,
+            trunk_fn=trunk_fn,
         )
         return nhh, nlh, {
             "high_level_loss": hl,

@@ -436,3 +436,73 @@ def test_tail_batch_loss_scale_matches_full_batch(tmp_path, rng):
     a_pad, s_pad = losses_for(8, 2)  # 2 real + 6 padded
     np.testing.assert_allclose(a_pad, a_full, rtol=1e-5)
     np.testing.assert_allclose(s_pad, s_full, rtol=1e-5)
+
+
+def test_shared_trunk_forward_equivalence(tmp_path, rng):
+    """TPU.SHARE_FROZEN_TRUNKS: with bitwise-identical trunk weights, the
+    shared one-pass-per-modality step must produce EXACTLY the losses of the
+    faithful two-pass forward; with differing trunks the guard disables
+    sharing."""
+    import jax.numpy as jnp
+
+    from robo_vln_tpu.models import frozen_trunks_identical
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+    from robo_vln_tpu.training.hierarchical_trainer import _bind
+    from robo_vln_tpu.training.steps import _hier_losses
+    from robo_vln_tpu.training.trainer import _dummy_batch
+
+    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=1,
+                      hw=32)
+    cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
+    cfg.freeze()
+    trainer = HierarchicalTrainer(cfg)
+    trainer._setup_policy()
+
+    # random inits differ -> the guard must refuse to share
+    assert trainer._maybe_trunk_fn() is None
+    assert not frozen_trunks_identical(
+        trainer.state.high.params, trainer.state.low.params,
+        trainer._high_extra, trainer._low_extra,
+    )
+
+    # sync the trunks (the production invariant: same pretrained files)
+    lp = jax.tree.map(lambda x: x, trainer.state.low.params)
+    hp = trainer.state.high.params
+    lp["rgb_encoder"]["cnn"] = hp["rgb_encoder"]["cnn"]
+    lp["depth_encoder"]["visual_encoder"] = hp["depth_encoder"]["visual_encoder"]
+    low_extra = dict(trainer._low_extra)
+    bs = jax.tree.map(lambda x: x, low_extra["batch_stats"])
+    bs["rgb_encoder"]["cnn"] = trainer._high_extra["batch_stats"]["rgb_encoder"]["cnn"]
+    low_extra["batch_stats"] = bs
+    trainer._low_extra = low_extra
+    trainer.state = trainer.state._replace(
+        low=trainer.state.low._replace(params=lp)
+    )
+    trunk_fn = trainer._maybe_trunk_fn()
+    assert trunk_fn is not None
+
+    gb = trainer.global_batch
+    batch = _dummy_batch(cfg, gb, t=3)
+    batch["rgb"] = rng.integers(0, 255, batch["rgb"].shape).astype(np.uint8)
+    batch["depth"] = rng.random(batch["depth"].shape).astype(np.float16)
+    batch["corrected_actions"][:] = 0.4
+    batch["oracle_stop"][:] = 0.0
+    batch["valid_mask"][:] = 1.0
+    batch["vln_oracle_action_sensor"][:] = 2.0
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    high_b = _bind(trainer.high, trainer._high_extra)
+    low_b = _bind(trainer.low, trainer._low_extra)
+    hh = trainer.high.initial_hidden(gb)
+    lh = trainer.low.initial_hidden(gb)
+
+    def losses(tf):
+        out = _hier_losses(
+            high_b, low_b, trainer.state.high.params, trainer.state.low.params,
+            batch, hh, lh, trunk_fn=tf,
+        )
+        return [float(out[0]), float(out[1]), float(out[2]), float(out[5])]
+
+    shared = losses(trunk_fn)
+    twopass = losses(None)
+    np.testing.assert_allclose(shared, twopass, rtol=1e-5, atol=1e-6)
