@@ -103,9 +103,14 @@ def measure_tpu_fps(batch=4, t=50, reps=7):
     return 1.0 / per_frame
 
 
-def measure_tpu_train_fps(batch=4, t=50, reps=5):
+def measure_tpu_train_fps(batch=4, t=50, reps=5, feature_mode=False):
     """Full hierarchical IL train step (grads + AdamW high / Adam low) as one
-    jitted program, same overhead-subtraction method."""
+    jitted program, same overhead-subtraction method.
+
+    feature_mode=True measures the feature-store training step
+    (DAGGER.PRELOAD_TRUNK_FEATURES, training/featurize.py): batches carry
+    precomputed f16 trunk features instead of raw frames, so the step is just
+    the trainable stack."""
     import jax
     import jax.numpy as jnp
 
@@ -157,6 +162,19 @@ def measure_tpu_train_fps(batch=4, t=50, reps=5):
     )
 
     rng = np.random.default_rng(1)
+    if feature_mode:
+        # trunk outputs at the production shapes: TV ResNet50 @224 -> 7x7x2048,
+        # GN depth ResNet50 @256 -> 8x8x32 (f16, as stored by featurize)
+        obs = {
+            "instruction": obs["instruction"],
+            "progress": obs["progress"],
+            "rgb_features": jnp.asarray(
+                rng.standard_normal((batch, t, 7, 7, 2048)), jnp.float16
+            ),
+            "depth_features": jnp.asarray(
+                rng.standard_normal((batch, t, 8, 8, 32)), jnp.float16
+            ),
+        }
     batch_data = {
         **obs,
         "vln_oracle_action_sensor": jnp.asarray(
@@ -269,14 +287,20 @@ def _measure_in_subprocess(which: str, tries: int = 2):
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--measure":
         wait_for_device()
-        fps = (measure_tpu_fps() if sys.argv[2] == "forward"
-               else measure_tpu_train_fps())
+        which = sys.argv[2]
+        if which == "forward":
+            fps = measure_tpu_fps()
+        elif which == "train_feat":
+            fps = measure_tpu_train_fps(feature_mode=True)
+        else:
+            fps = measure_tpu_train_fps()
         print(json.dumps({"fps": fps}))
         return
 
     cache = get_torch_baselines()
     train_fps = _measure_in_subprocess("train")
     fwd_fps = _measure_in_subprocess("forward")
+    feat_fps = _measure_in_subprocess("train_feat", tries=1)
     if train_fps is None and fwd_fps is None:
         raise RuntimeError("both bench subprocesses failed")
     if train_fps is not None:
@@ -301,6 +325,9 @@ def main():
         result["forward_vs_baseline"] = round(
             float(fwd_fps / cache["torch_cpu_fps"]), 2
         )
+    if feat_fps is not None:
+        # feature-store training mode (DAGGER.PRELOAD_TRUNK_FEATURES)
+        result["feature_train_fps"] = round(float(feat_fps), 2)
     result["torch_threads"] = cache.get("torch_threads")
     print(json.dumps(result))
 

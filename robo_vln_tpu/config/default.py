@@ -103,6 +103,12 @@ _C.DAGGER.LMDB_FEATURES_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
 _C.DAGGER.LMDB_EVAL_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
 _C.DAGGER.LOAD_FROM_CKPT = False
 _C.DAGGER.CKPT_TO_LOAD = "data/checkpoints/ckpt.0"
+# Feature-store training (training/featurize.py): run the frozen conv trunks
+# over the buffer ONCE (cached in <buffer>.features, fingerprint-keyed), then
+# train from features — the step shrinks to the trainable stack.  Requires
+# the resnet encoder types; trunk weights must be identical across the
+# hierarchical pair (auto-checked, falls back to raw training otherwise).
+_C.DAGGER.PRELOAD_TRUNK_FEATURES = False
 # TPU additions: static-shape episode bucketing (SURVEY.md §7 hard parts)
 _C.DAGGER.EPISODE_LEN_BUCKETS = [100, 200, 300, 400, 500, 700, 1000]
 _C.DAGGER.MAX_INSTRUCTION_LEN = 200

@@ -39,7 +39,14 @@ from robo_vln_tpu.data.trajectory_store import TrajectoryStore
 # float16 (values in [0,1]; rounding is below sensor noise).  The /255 and
 # cast to compute dtype happen ON DEVICE in the encoders, where XLA fuses
 # them into the first convolution.
-SENSOR_DTYPES = {"rgb": np.uint8, "depth": np.float16}
+SENSOR_DTYPES = {
+    "rgb": np.uint8,
+    "depth": np.float16,
+    # precomputed frozen-trunk outputs (training/featurize.py feature-store
+    # training mode)
+    "rgb_features": np.float16,
+    "depth_features": np.float16,
+}
 
 
 def block_shuffle(lst: List, block_size: int, rng: random.Random) -> List:

@@ -132,8 +132,10 @@ class CMAPolicy(nn.Module):
         masks: jnp.ndarray,  # (B, T) or (B,)
         deterministic: bool = True,  # no dropout in CMANet; uniform step API
     ):
+        from robo_vln_tpu.models.encoders.visual import visual_obs, visual_ref
+
         mc = self.model_config
-        single = observations["rgb"].ndim == 4
+        single = visual_ref(observations).ndim == 4
         if single:
             observations = {
                 k: (v[:, None] if k != "instruction" else v)
@@ -143,13 +145,13 @@ class CMAPolicy(nn.Module):
             if prev_actions is not None:
                 prev_actions = prev_actions[:, None]
 
-        b, t = observations["rgb"].shape[:2]
+        b, t = visual_ref(observations).shape[:2]
         n = b * t
-        rgb = observations["rgb"].reshape((n,) + observations["rgb"].shape[2:])
-        depth = observations["depth"].reshape((n,) + observations["depth"].shape[2:])
 
-        depth_tokens = self.depth_encoder({"depth": depth})  # (N, 64, 96)
-        rgb_tokens = self.rgb_encoder({"rgb": rgb})  # (N, 16, 2112)
+        depth_tokens = self.depth_encoder(
+            visual_obs(observations, "depth", n)
+        )  # (N, 64, 96)
+        rgb_tokens = self.rgb_encoder(visual_obs(observations, "rgb", n))  # (N, 16, 2112)
 
         # (B, C, L) channel-major from the encoder; broadcast over time
         ins_cl = self.instruction_encoder(observations["instruction"])

@@ -32,6 +32,27 @@ from flax import linen as nn
 from .resnet import GNResNetEncoder, TVResNet50, adaptive_avg_pool2d
 
 
+def visual_obs(observations, key: str, n: int):
+    """Encoder input for one modality with time folded into batch:
+    precomputed trunk features when present (shared-trunk steps or the
+    feature-store training mode, training/featurize.py), raw frames
+    otherwise."""
+    fkey = f"{key}_features"
+    if fkey in observations:
+        v = observations[fkey]
+        return {fkey: v.reshape((n,) + v.shape[2:])}
+    v = observations[key]
+    return {key: v.reshape((n,) + v.shape[2:])}
+
+
+def visual_ref(observations):
+    """The array that carries the (B, T) leading shape — rgb when frames are
+    present, rgb_features in feature-mode batches."""
+    return observations["rgb"] if "rgb" in observations else (
+        observations["rgb_features"]
+    )
+
+
 class DepthEncoder(nn.Module):
     """GroupNorm-ResNet depth encoder (VlnResnetDepthEncoder equivalent)."""
 

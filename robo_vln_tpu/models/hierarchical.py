@@ -31,21 +31,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from robo_vln_tpu.models.encoders.bert import BertEncoder
-from robo_vln_tpu.models.encoders.visual import DepthEncoder, RGBEncoder
+from robo_vln_tpu.models.encoders.visual import (
+    DepthEncoder,
+    RGBEncoder,
+    visual_obs as _visual_obs,
+    visual_ref as _visual_ref,
+)
 from robo_vln_tpu.models.rnn_state_encoder import RNNStateEncoder
 from robo_vln_tpu.models.transformer import VisualLingAttn
-
-
-def _visual_obs(observations, key: str, n: int):
-    """Encoder input for one modality: precomputed trunk features when the
-    step shares frozen trunks (models.make_shared_trunk_fn), raw frames
-    otherwise; time folded into batch either way."""
-    fkey = f"{key}_features"
-    if fkey in observations:
-        v = observations[fkey]
-        return {fkey: v.reshape((n,) + v.shape[2:])}
-    v = observations[key]
-    return {key: v.reshape((n,) + v.shape[2:])}
 
 
 class HighLevelPolicy(nn.Module):
@@ -114,7 +107,7 @@ class HighLevelPolicy(nn.Module):
         deterministic: bool = True,
     ):
         mc = self.model_config
-        single = observations["rgb"].ndim == 4
+        single = _visual_ref(observations).ndim == 4
         if single:
             observations = {
                 k: (v[:, None] if k != "instruction" else v)
@@ -122,7 +115,7 @@ class HighLevelPolicy(nn.Module):
             }
             masks = masks[:, None]
 
-        b, t = observations["rgb"].shape[:2]
+        b, t = _visual_ref(observations).shape[:2]
         n = b * t
 
         depth_tokens = self.depth_encoder(_visual_obs(observations, "depth", n))
@@ -220,7 +213,7 @@ class LowLevelPolicy(nn.Module):
         deterministic: bool = True,  # no dropout in the low level; uniform API
     ):
         mc = self.model_config
-        single = observations["rgb"].ndim == 4
+        single = _visual_ref(observations).ndim == 4
         if single:
             observations = {
                 k: (v[:, None] if k != "instruction" else v)
@@ -229,7 +222,7 @@ class LowLevelPolicy(nn.Module):
             masks = masks[:, None]
             discrete_actions = discrete_actions[:, None]
 
-        b, t = observations["rgb"].shape[:2]
+        b, t = _visual_ref(observations).shape[:2]
         n = b * t
 
         depth_embedding = self.depth_encoder(

@@ -127,8 +127,10 @@ class Seq2SeqPolicy(nn.Module):
         masks: jnp.ndarray,  # (B, T) or (B,) not-done masks
         deterministic: bool = True,
     ):
+        from robo_vln_tpu.models.encoders.visual import visual_obs, visual_ref
+
         mc = self.model_config
-        single = observations["rgb"].ndim == 4
+        single = visual_ref(observations).ndim == 4
         if single:
             observations = {
                 k: (v[:, None] if k != "instruction" else v)
@@ -138,8 +140,8 @@ class Seq2SeqPolicy(nn.Module):
             if prev_actions is not None:
                 prev_actions = prev_actions[:, None]
 
-        rgb, b, t = _flatten_time(observations["rgb"])
-        depth, _, _ = _flatten_time(observations["depth"])
+        b, t = visual_ref(observations).shape[:2]
+        n = b * t
 
         if self._uses_language_encoder:
             instruction_embedding = self.instruction_encoder(
@@ -149,8 +151,8 @@ class Seq2SeqPolicy(nn.Module):
             instruction_embedding = self.instruction_encoder(
                 observations["instruction"]
             )  # (B, Hi)
-        depth_embedding = self.depth_encoder({"depth": depth})
-        rgb_embedding = self.rgb_encoder({"rgb": rgb})
+        depth_embedding = self.depth_encoder(visual_obs(observations, "depth", n))
+        rgb_embedding = self.rgb_encoder(visual_obs(observations, "rgb", n))
 
         if mc.ablate_instruction:
             instruction_embedding = instruction_embedding * 0

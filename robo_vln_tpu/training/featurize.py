@@ -1,0 +1,133 @@
+"""Trunk-feature pre-extraction: run the frozen conv trunks over a collected
+buffer ONCE, train forever after from features.
+
+The frozen encoders (DDPPO depth ResNet50, torchvision ResNet50 — reference
+resnet_encoders.py:35-51,144) never change during IL training, and all paper
+configs train from a fixed offline buffer (PRELOAD_LMDB_FEATURES) — so the
+trunk forward, the dominant per-step FLOPs, is a pure function of the buffer.
+`ensure_featurized` materializes a sibling `<buffer>.features` store whose
+episodes carry `rgb_features` / `depth_features` (f16 trunk outputs) instead
+of raw frames; the policies consume them through the encoders'
+precomputed-feature path and the train step shrinks to the trainable stack
+(cross-modal attention + LSTMs + heads).
+
+The cache is keyed by a fingerprint of the trunk weights — re-grafting
+different trunks invalidates and rebuilds it.  Closed-loop eval always runs
+the full forward (frames arrive from the simulator).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+
+from robo_vln_tpu.data import serialization
+from robo_vln_tpu.data.trajectory_store import TrajectoryStore
+from robo_vln_tpu.utils.logging import logger
+
+_FEATURE_DTYPE = np.float16
+_META = "featurize_meta.json"
+
+
+def trunk_fingerprint(params: Dict, extra: Optional[Dict] = None) -> str:
+    """sha256 over the frozen trunk weights (params + BN stats)."""
+    h = hashlib.sha256()
+    for tree in (params, (extra or {}).get("batch_stats", {})):
+        for path in (("rgb_encoder", "cnn"), ("depth_encoder", "visual_encoder")):
+            node = tree
+            for k in path:
+                node = node.get(k, {}) if isinstance(node, dict) else {}
+            for leaf in jax.tree.leaves(node):
+                h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
+
+
+def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
+                     raw_dir: str, out_dir: str, chunk: int = 32) -> int:
+    """Write the featurized twin of `raw_dir` into `out_dir`.  Episodes keep
+    every key except rgb/depth, which become `{rgb,depth}_features` (f16).
+    One fixed-chunk jitted trunk program (frames padded to `chunk`) keeps the
+    compile count at one."""
+    from robo_vln_tpu.models import make_shared_trunk_fn
+
+    trunk_fn = make_shared_trunk_fn(model_config, compute_dtype, extra)
+
+    @jax.jit
+    def run_chunk(params, rgb, depth):
+        feats = trunk_fn(params, {"rgb": rgb, "depth": depth})
+        return (
+            feats["rgb_features"].astype(np.float16),
+            feats["depth_features"].astype(np.float16),
+        )
+
+    n_eps = 0
+    with TrajectoryStore(raw_dir) as src, \
+            TrajectoryStore(out_dir, writable=True) as dst:
+        total = len(src)
+        for key in range(total):
+            obs, prev, corr, stop = serialization.unpackb(src.get(key))
+            rgb = np.asarray(obs["rgb"])
+            depth = np.asarray(obs["depth"])
+            t = rgb.shape[0]
+            rgb_f, depth_f = [], []
+            for s in range(0, t, chunk):
+                r = rgb[s:s + chunk]
+                d = depth[s:s + chunk]
+                pad = chunk - len(r)
+                if pad:
+                    r = np.concatenate([r, np.zeros((pad,) + r.shape[1:], r.dtype)])
+                    d = np.concatenate([d, np.zeros((pad,) + d.shape[1:], d.dtype)])
+                rf, df = run_chunk(params, r[None], d[None])
+                rgb_f.append(np.asarray(rf)[0, : chunk - pad if pad else chunk])
+                depth_f.append(np.asarray(df)[0, : chunk - pad if pad else chunk])
+            new_obs = {k: v for k, v in obs.items() if k not in ("rgb", "depth")}
+            new_obs["rgb_features"] = np.concatenate(rgb_f).astype(_FEATURE_DTYPE)
+            new_obs["depth_features"] = np.concatenate(depth_f).astype(
+                _FEATURE_DTYPE
+            )
+            dst.put(key, serialization.packb([new_obs, prev, corr, stop]))
+            n_eps += 1
+            if n_eps % 100 == 0:
+                dst.flush()
+                logger.info(f"featurized {n_eps}/{total} episodes")
+        dst.flush()
+    return n_eps
+
+
+def ensure_featurized(config, compute_dtype, params: Dict, extra: Dict,
+                      raw_dir: str) -> str:
+    """Return the featurized twin directory for `raw_dir`, building or
+    rebuilding it when missing or stale (trunk weights changed / buffer
+    grew)."""
+    out_dir = raw_dir.rstrip("/") + ".features"
+    fp = trunk_fingerprint(params, extra)
+    with TrajectoryStore(raw_dir) as src:
+        src_len = len(src)
+    meta_path = os.path.join(out_dir, _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp and meta.get("episodes") == src_len:
+            logger.info(f"reusing featurized buffer {out_dir} ({src_len} eps)")
+            return out_dir
+        logger.info(
+            f"featurized buffer {out_dir} is stale "
+            "(trunk weights or source changed); rebuilding"
+        )
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    n = featurize_buffer(
+        config.MODEL, compute_dtype, params, extra, raw_dir, out_dir
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump({"fingerprint": fp, "episodes": n, "source": raw_dir}, f)
+    logger.info(f"featurized {n} episodes -> {out_dir}")
+    return out_dir

@@ -120,6 +120,35 @@ class HierarchicalTrainer(BaseTrainer):
             high_b, low_b, trunk_fn=trunk_fn
         )
 
+    def _featurized_dirs(self):
+        """Feature-store twin buffers (DAGGER.PRELOAD_TRUNK_FEATURES).  The
+        low level consumes features computed with the HIGH level's frozen
+        trunks, so the identity guard applies exactly as for trunk sharing."""
+        from robo_vln_tpu.models import frozen_trunks_identical, resolve_dtype
+        from robo_vln_tpu.training.featurize import ensure_featurized
+
+        cfg = self.config
+        if not frozen_trunks_identical(
+            self.state.high.params, self.state.low.params,
+            self._high_extra, self._low_extra,
+        ):
+            logger.warning(
+                "PRELOAD_TRUNK_FEATURES: high/low trunk weights differ; "
+                "training from raw frames"
+            )
+            return self.features_dir, self.eval_dir
+        dt = resolve_dtype(cfg.TPU.PRECISION)
+        params = jax.device_get(self.state.high.params)
+        train_dir = ensure_featurized(
+            cfg, dt, params, self._high_extra, self.features_dir
+        )
+        eval_dir = self.eval_dir
+        if os.path.exists(eval_dir):
+            eval_dir = ensure_featurized(
+                cfg, dt, params, self._high_extra, eval_dir
+            )
+        return train_dir, eval_dir
+
     def _maybe_trunk_fn(self):
         """Shared frozen-trunk forward when enabled AND safe (both policies
         hold bitwise-identical trunk weights — true whenever the trunks come
@@ -271,15 +300,19 @@ class HierarchicalTrainer(BaseTrainer):
                     logger.info(
                         f"Data collection complete (iteration {dagger_it})"
                     )
+                train_dir, eval_dir = self.features_dir, self.eval_dir
+                if cfg.DAGGER.PRELOAD_TRUNK_FEATURES:
+                    # after collection so a freshly grown buffer refeaturizes
+                    train_dir, eval_dir = self._featurized_dirs()
                 for epoch in range(cfg.DAGGER.EPOCHS):
                     t0 = time.time()
                     train_steps = self.train_epoch(
-                        self._batches(self.features_dir, seed=epoch),
+                        self._batches(train_dir, seed=epoch),
                         epoch, writer, train_steps,
                     )
-                    if os.path.exists(self.eval_dir):
+                    if os.path.exists(eval_dir):
                         val_steps = self.val_epoch(
-                            self._batches(self.eval_dir, seed=epoch),
+                            self._batches(eval_dir, seed=epoch),
                             epoch, writer, val_steps,
                         )
                     logger.info(

@@ -153,9 +153,11 @@ def _hier_losses(high, low, high_params, low_params, batch,
             "not_done_masks", "valid_mask", "vln_oracle_action_sensor",
         )
     }
-    if trunk_fn is not None:
+    if trunk_fn is not None and "rgb" in obs:
         # frozen conv trunks computed ONCE, consumed by BOTH policies
-        # (models.make_shared_trunk_fn — the reference runs them twice)
+        # (models.make_shared_trunk_fn — the reference runs them twice).
+        # Feature-store batches (training/featurize.py) arrive with the
+        # features already materialized and no raw frames.
         obs = {**obs, **trunk_fn(high_params, obs)}
     oracle = batch["vln_oracle_action_sensor"]
     b, t = batch["not_done_masks"].shape

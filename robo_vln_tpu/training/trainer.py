@@ -242,6 +242,33 @@ class RoboVLNTrainer(BaseTrainer):
             writer.add_scalar("Val Loss Epoch", float(np.mean(losses)), val_steps)
         return val_steps
 
+    def _featurized_dirs(self):
+        """Feature-store twin buffers (DAGGER.PRELOAD_TRUNK_FEATURES): trunk
+        features precomputed once per buffer/weights, cached and
+        fingerprint-invalidated (training/featurize.py)."""
+        cfg = self.config
+        if (cfg.MODEL.RGB_ENCODER.cnn_type != "TorchVisionResNet50"
+                or cfg.MODEL.DEPTH_ENCODER.cnn_type != "VlnResnetDepthEncoder"):
+            logger.warning(
+                "PRELOAD_TRUNK_FEATURES requires the ResNet encoder types; "
+                "training from raw frames"
+            )
+            return self.features_dir, self.eval_dir
+        from robo_vln_tpu.models import resolve_dtype
+        from robo_vln_tpu.training.featurize import ensure_featurized
+
+        dt = resolve_dtype(cfg.TPU.PRECISION)
+        params = jax.device_get(self.state.params)
+        train_dir = ensure_featurized(
+            cfg, dt, params, self.extra_variables, self.features_dir
+        )
+        eval_dir = self.eval_dir
+        if os.path.exists(eval_dir):
+            eval_dir = ensure_featurized(
+                cfg, dt, params, self.extra_variables, eval_dir
+            )
+        return train_dir, eval_dir
+
     # -- main loop -------------------------------------------------------------
     def train(self) -> None:
         cfg = self.config
@@ -266,15 +293,19 @@ class RoboVLNTrainer(BaseTrainer):
                     logger.info(
                         f"Data collection complete (iteration {dagger_it})"
                     )
+                train_dir, eval_dir = self.features_dir, self.eval_dir
+                if cfg.DAGGER.PRELOAD_TRUNK_FEATURES:
+                    # after collection so a freshly grown buffer refeaturizes
+                    train_dir, eval_dir = self._featurized_dirs()
                 for epoch in range(cfg.DAGGER.EPOCHS):
                     t0 = time.time()
                     train_steps = self.train_epoch(
-                        self._batches(self.features_dir, seed=epoch),
+                        self._batches(train_dir, seed=epoch),
                         epoch, writer, train_steps,
                     )
-                    if os.path.exists(self.eval_dir):
+                    if os.path.exists(eval_dir):
                         val_steps = self.val_epoch(
-                            self._batches(self.eval_dir, seed=epoch),
+                            self._batches(eval_dir, seed=epoch),
                             epoch, writer, val_steps,
                         )
                     logger.info(

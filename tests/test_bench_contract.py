@@ -34,6 +34,9 @@ def test_bench_json_contract(capsys, monkeypatch):
     assert r["value"] == 2000.0 and r["vs_baseline"] == 2000.0
     assert r["unit"] == "frames/sec/chip"
     assert r["forward_fps"] == 3000.0 and r["forward_vs_baseline"] == 1500.0
+    # feature-store train mode rides along as an extra field (the mock's
+    # side_effect returns fwd_fps for any non-"train" measurement)
+    assert r["feature_train_fps"] == 3000.0
 
 
 def test_bench_falls_back_to_forward_headline(capsys, monkeypatch):

@@ -1,0 +1,127 @@
+"""Feature-store training mode (training/featurize.py): trunk features
+precomputed once per buffer, trained from forever after.  Correctness pin:
+feature-mode losses match the raw-frame shared-trunk step to f16 storage
+tolerance; the cache invalidates on trunk-weight changes."""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_trainers import fill_buffer, tiny_config
+
+
+def _synced_hier_trainer(tmp_path, hw=32):
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+
+    cfg = tiny_config(tmp_path, trainer="hierarchical_trainer", batch_size=1,
+                      hw=hw)
+    cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
+    cfg.freeze()
+    trainer = HierarchicalTrainer(cfg)
+    trainer._setup_policy()
+    # production invariant: both modules' frozen trunks from the same files
+    lp = jax.tree.map(lambda x: x, trainer.state.low.params)
+    hp = trainer.state.high.params
+    lp["rgb_encoder"]["cnn"] = hp["rgb_encoder"]["cnn"]
+    lp["depth_encoder"]["visual_encoder"] = hp["depth_encoder"]["visual_encoder"]
+    low_extra = dict(trainer._low_extra)
+    bs = jax.tree.map(lambda x: x, low_extra["batch_stats"])
+    bs["rgb_encoder"]["cnn"] = trainer._high_extra["batch_stats"]["rgb_encoder"]["cnn"]
+    low_extra["batch_stats"] = bs
+    trainer._low_extra = low_extra
+    trainer.state = trainer.state._replace(
+        low=trainer.state.low._replace(params=lp)
+    )
+    return cfg, trainer
+
+
+def test_feature_mode_losses_match_raw(tmp_path, rng):
+    from robo_vln_tpu.training.hierarchical_trainer import _bind
+    from robo_vln_tpu.training.steps import _hier_losses
+
+    cfg, trainer = _synced_hier_trainer(tmp_path)
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=3, hw=32)
+
+    feat_dir, _ = trainer._featurized_dirs()
+    assert feat_dir != trainer.features_dir
+    assert os.path.exists(os.path.join(feat_dir, "featurize_meta.json"))
+
+    raw_batch = next(iter(trainer._batches(trainer.features_dir, seed=0)))
+    feat_batch = next(iter(trainer._batches(feat_dir, seed=0)))
+    assert "rgb" not in feat_batch and "rgb_features" in feat_batch
+    assert feat_batch["rgb_features"].dtype == np.float16
+    np.testing.assert_array_equal(
+        raw_batch["corrected_actions"], feat_batch["corrected_actions"]
+    )
+
+    high_b = _bind(trainer.high, trainer._high_extra)
+    low_b = _bind(trainer.low, trainer._low_extra)
+    gb = trainer.global_batch
+    hh = trainer.high.initial_hidden(gb)
+    lh = trainer.low.initial_hidden(gb)
+    trunk_fn = trainer._maybe_trunk_fn()
+    assert trunk_fn is not None
+
+    def losses(batch, tf):
+        out = _hier_losses(
+            high_b, low_b, trainer.state.high.params, trainer.state.low.params,
+            {k: jnp.asarray(v) for k, v in batch.items()}, hh, lh, trunk_fn=tf,
+        )
+        return np.array([float(out[0]), float(out[1]), float(out[2])])
+
+    raw = losses(raw_batch, trunk_fn)
+    feat = losses(feat_batch, trunk_fn)  # "rgb" absent -> trunk_fn unused
+    np.testing.assert_allclose(feat, raw, rtol=2e-2, atol=2e-3)  # f16 storage
+
+
+def test_feature_cache_fingerprint_invalidation(tmp_path, rng):
+    from robo_vln_tpu.training.featurize import ensure_featurized, trunk_fingerprint
+
+    cfg, trainer = _synced_hier_trainer(tmp_path)
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=2, hw=32)
+    params = jax.device_get(trainer.state.high.params)
+
+    d1 = ensure_featurized(cfg, jnp.float32, params, trainer._high_extra,
+                           trainer.features_dir)
+    meta1 = json.load(open(os.path.join(d1, "featurize_meta.json")))
+    # second call: cache hit, identical meta
+    d2 = ensure_featurized(cfg, jnp.float32, params, trainer._high_extra,
+                           trainer.features_dir)
+    assert d1 == d2
+    assert json.load(open(os.path.join(d1, "featurize_meta.json"))) == meta1
+
+    # perturb a trunk weight -> new fingerprint -> rebuild
+    params2 = jax.tree.map(lambda x: x, params)
+    k = params2["rgb_encoder"]["cnn"]["conv1"]["kernel"]
+    params2["rgb_encoder"]["cnn"]["conv1"]["kernel"] = np.asarray(k) + 1.0
+    assert trunk_fingerprint(params2, trainer._high_extra) != meta1["fingerprint"]
+    ensure_featurized(cfg, jnp.float32, params2, trainer._high_extra,
+                      trainer.features_dir)
+    meta2 = json.load(open(os.path.join(d1, "featurize_meta.json")))
+    assert meta2["fingerprint"] != meta1["fingerprint"]
+
+
+def test_flat_trainer_feature_mode_end_to_end(tmp_path, rng):
+    """run the flat trainer fully in feature mode: featurize -> train ->
+    checkpoint, loss finite and params update."""
+    cfg = tiny_config(tmp_path, batch_size=1, hw=32)
+    cfg.DAGGER.PRELOAD_TRUNK_FEATURES = True
+    cfg.freeze()
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=4, hw=32)
+    fill_buffer(cfg.DAGGER.LMDB_EVAL_DIR, rng, n_eps=2, hw=32)
+
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+
+    trainer = RoboVLNTrainer(cfg)
+    trainer.train()
+    assert os.path.isdir(cfg.DAGGER.LMDB_FEATURES_DIR + ".features")
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.TENSORBOARD_DIR, "metrics.jsonl"))
+    ]
+    totals = [m["value"] for m in metrics if m["tag"] == "Total Loss"]
+    assert totals and np.isfinite(totals).all()
