@@ -103,14 +103,18 @@ def measure_tpu_fps(batch=4, t=50, reps=7):
     return 1.0 / per_frame
 
 
-def measure_tpu_train_fps(batch=4, t=50, reps=5, feature_mode=False):
+def measure_tpu_train_fps(batch=None, t=None, reps=5, feature_mode=False):
     """Full hierarchical IL train step (grads + AdamW high / Adam low) as one
     jitted program, same overhead-subtraction method.
 
     feature_mode=True measures the feature-store training step
     (DAGGER.PRELOAD_TRUNK_FEATURES, training/featurize.py): batches carry
     precomputed f16 trunk features instead of raw frames, so the step is just
-    the trainable stack."""
+    the trainable stack.  BENCH_BATCH / BENCH_T env vars override the default
+    B=4, T=50 (feature mode has no conv activations, so much larger per-chip
+    batches amortize the sequential LSTM latency)."""
+    batch = batch or int(os.environ.get("BENCH_BATCH", 4))
+    t = t or int(os.environ.get("BENCH_T", 50))
     import jax
     import jax.numpy as jnp
 

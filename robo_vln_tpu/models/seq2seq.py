@@ -14,7 +14,7 @@ input is treated as a single step (eval rollout path).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +27,6 @@ from robo_vln_tpu.models.encoders.visual import (
     SimpleCNN,
 )
 from robo_vln_tpu.models.rnn_state_encoder import RNNStateEncoder
-
-
-def _flatten_time(x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
-    """(B, T, ...) -> (B*T, ...): batch axis stays outermost (shard-friendly)."""
-    b, t = x.shape[0], x.shape[1]
-    return x.reshape((b * t,) + x.shape[2:]), b, t
 
 
 class Seq2SeqPolicy(nn.Module):

@@ -101,8 +101,10 @@ def main():
     ckpts = ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
     with MetricsWriter(cfg.TENSORBOARD_DIR) as w:
         stats = eval_hierarchical_checkpoint(trainer, ckpts[-1], w, 0)
+    scalars = {k: v for k, v in stats.items() if isinstance(v, (int, float))}
     print(f"[eval] {time.time() - t0:.1f}s "
-          f"stats={{{', '.join(f'{k}: {v:.3f}' for k, v in stats.items())}}}",
+          f"stats={{{', '.join(f'{k}: {v:.3f}' for k, v in scalars.items())}}}"
+          f" backbones={stats.get('pretrained_backbones', {})}",
           flush=True)
     print("E2E OK", flush=True)
 
