@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from robo_vln_tpu.ops import rnn as rnn_ops
 
 _SUBLANE = 8
 _LANE = 128

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from robo_vln_tpu.ops import losses
-from robo_vln_tpu.parallel import mesh as mesh_lib
 from robo_vln_tpu.training import optimizers as opt_lib
 
 

@@ -7,6 +7,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +24,21 @@ def _synced_hier_trainer(tmp_path, hw=32):
     cfg.freeze()
     trainer = HierarchicalTrainer(cfg)
     trainer._setup_policy()
-    # production invariant: both modules' frozen trunks from the same files
+    # production invariant: both modules' frozen trunks from the same files.
+    # COPIES, not aliases — the donated train step must never see one buffer
+    # twice (XLA "donate the same buffer twice" error)
+    copy = lambda t: jax.tree.map(lambda x: np.array(x), t)  # noqa: E731
     lp = jax.tree.map(lambda x: x, trainer.state.low.params)
     hp = trainer.state.high.params
-    lp["rgb_encoder"]["cnn"] = hp["rgb_encoder"]["cnn"]
-    lp["depth_encoder"]["visual_encoder"] = hp["depth_encoder"]["visual_encoder"]
+    lp["rgb_encoder"]["cnn"] = copy(hp["rgb_encoder"]["cnn"])
+    lp["depth_encoder"]["visual_encoder"] = copy(
+        hp["depth_encoder"]["visual_encoder"]
+    )
     low_extra = dict(trainer._low_extra)
     bs = jax.tree.map(lambda x: x, low_extra["batch_stats"])
-    bs["rgb_encoder"]["cnn"] = trainer._high_extra["batch_stats"]["rgb_encoder"]["cnn"]
+    bs["rgb_encoder"]["cnn"] = copy(
+        trainer._high_extra["batch_stats"]["rgb_encoder"]["cnn"]
+    )
     low_extra["batch_stats"] = bs
     trainer._low_extra = low_extra
     trainer.state = trainer.state._replace(
@@ -125,3 +133,28 @@ def test_flat_trainer_feature_mode_end_to_end(tmp_path, rng):
     ]
     totals = [m["value"] for m in metrics if m["tag"] == "Total Loss"]
     assert totals and np.isfinite(totals).all()
+
+
+@pytest.mark.slow  # full hier train loop; core parity covered by the fast tests
+def test_hier_trainer_feature_mode_end_to_end(tmp_path, rng):
+    """Hierarchical trainer fully in feature mode: trunks synced (production
+    invariant), buffer featurized once, training runs from features."""
+    cfg, trainer = _synced_hier_trainer(tmp_path)
+    cfg.defrost()
+    cfg.DAGGER.PRELOAD_TRUNK_FEATURES = True
+    cfg.freeze()
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=4, hw=32)
+
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    train_dir, _ = trainer._featurized_dirs()
+    assert train_dir.endswith(".features")
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        trainer.train_epoch(trainer._batches(train_dir, seed=0), 0, writer, 0)
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.TENSORBOARD_DIR, "metrics.jsonl"))
+    ]
+    hl = [m["value"] for m in metrics
+          if m["tag"] == "Train High Level Action Loss"]
+    assert hl and np.isfinite(hl).all()

@@ -465,14 +465,20 @@ def test_shared_trunk_forward_equivalence(tmp_path, rng):
         trainer._high_extra, trainer._low_extra,
     )
 
-    # sync the trunks (the production invariant: same pretrained files)
+    # sync the trunks (the production invariant: same pretrained files) with
+    # COPIES — aliased buffers break donated steps (donate-twice error)
+    copy = lambda t: jax.tree.map(lambda x: np.array(x), t)  # noqa: E731
     lp = jax.tree.map(lambda x: x, trainer.state.low.params)
     hp = trainer.state.high.params
-    lp["rgb_encoder"]["cnn"] = hp["rgb_encoder"]["cnn"]
-    lp["depth_encoder"]["visual_encoder"] = hp["depth_encoder"]["visual_encoder"]
+    lp["rgb_encoder"]["cnn"] = copy(hp["rgb_encoder"]["cnn"])
+    lp["depth_encoder"]["visual_encoder"] = copy(
+        hp["depth_encoder"]["visual_encoder"]
+    )
     low_extra = dict(trainer._low_extra)
     bs = jax.tree.map(lambda x: x, low_extra["batch_stats"])
-    bs["rgb_encoder"]["cnn"] = trainer._high_extra["batch_stats"]["rgb_encoder"]["cnn"]
+    bs["rgb_encoder"]["cnn"] = copy(
+        trainer._high_extra["batch_stats"]["rgb_encoder"]["cnn"]
+    )
     low_extra["batch_stats"] = bs
     trainer._low_extra = low_extra
     trainer.state = trainer.state._replace(
