@@ -42,6 +42,14 @@ def main():
     masks1 = masks[:, 0]
     prev1 = prev[:, 0]
 
+    # production eval driver caches the frozen BERT embedding per episode
+    # (evaluator.cached_instruction_embedding); TICK_NO_BERT_CACHE=1 compares
+    cache_bert = not os.environ.get("TICK_NO_BERT_CACHE")
+    if cache_bert:
+        emb = high.apply(hparams, obs1["instruction"],
+                         method="embed_instruction")
+        obs1["instruction_embedding"] = jax.block_until_ready(emb)
+
     @jax.jit
     def tick(hparams, lparams, obs, hh, lh, prev, mask):
         if trunk_fn is not None:
@@ -78,6 +86,7 @@ def main():
         "dispatch_overhead_ms": round(t_0 * 1e3, 2),
         "hz_capable_on_device": round(1e3 / max(on_device_ms, 1e-6), 1),
         "shared_trunks": share,
+        "cached_bert": cache_bert,
     }))
 
 

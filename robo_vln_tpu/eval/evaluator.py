@@ -603,6 +603,24 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
     # BOTH modules) — safe-guarded by the weight-identity check
     trunk_fn = trainer._maybe_trunk_fn()
 
+    # frozen BERT is episode-constant: embed once per episode (per env-batch
+    # composition) instead of every 30 Hz tick
+    embed_fn = jax.jit(
+        lambda hp, ids: high_b.apply(
+            {"params": hp}, ids, method="embed_instruction"
+        )
+    )
+    emb_cache = {"ids": None, "emb": None}
+
+    def cached_instruction_embedding(obs):
+        ids = np.asarray(obs["instruction"])
+        if emb_cache["ids"] is None or not np.array_equal(emb_cache["ids"], ids):
+            emb_cache["ids"] = ids
+            emb_cache["emb"] = embed_fn(
+                trainer.state.high.params, jnp.asarray(ids)
+            )
+        return emb_cache["emb"]
+
     @jax.jit
     def step_fn(hp, lp, obs, hh, lh, prev, mask):
         if trunk_fn is not None:
@@ -628,6 +646,7 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
 
     def policy_step(obs, state, prev, mask):
         hh, lh = state
+        obs = {**obs, "instruction_embedding": cached_instruction_embedding(obs)}
         actions, stop, hh, lh, salience = step_fn(
             trainer.state.high.params, trainer.state.low.params,
             obs, hh, lh, prev, mask,

@@ -98,6 +98,14 @@ class HighLevelPolicy(nn.Module):
     def initial_hidden(self, batch_size: int) -> jnp.ndarray:
         return jnp.zeros((2, batch_size, self.model_config.STATE_ENCODER.hidden_size), jnp.float32)
 
+    def embed_instruction(self, instruction: jnp.ndarray) -> jnp.ndarray:
+        """Frozen BERT over the token ids -> (B, L, H).  The instruction is
+        EPISODE-constant, so the eval driver computes this once per episode
+        and feeds it back as observations["instruction_embedding"] — the
+        reference reruns BERT every control tick (robo_vln baseline
+        seq2seq_highlevel_cma.py:192-196)."""
+        return jax.lax.stop_gradient(self.embedding_layer(instruction))
+
     def __call__(
         self,
         observations: Dict[str, jnp.ndarray],
@@ -110,7 +118,9 @@ class HighLevelPolicy(nn.Module):
         single = _visual_ref(observations).ndim == 4
         if single:
             observations = {
-                k: (v[:, None] if k != "instruction" else v)
+                k: (v[:, None]
+                    if k not in ("instruction", "instruction_embedding")
+                    else v)
                 for k, v in observations.items()
             }
             masks = masks[:, None]
@@ -125,10 +135,13 @@ class HighLevelPolicy(nn.Module):
         if mc.ablate_rgb:
             rgb_tokens = rgb_tokens * 0
 
-        # Frozen BERT over the (episode-constant) instruction, once per episode
-        embedded_b = jax.lax.stop_gradient(
-            self.embedding_layer(observations["instruction"])
-        )  # (B, L, 768)
+        # Frozen BERT over the (episode-constant) instruction — once per
+        # window, or skipped entirely when the eval driver supplies the
+        # per-episode cached embedding
+        if "instruction_embedding" in observations:
+            embedded_b = observations["instruction_embedding"]  # (B, L, 768)
+        else:
+            embedded_b = self.embed_instruction(observations["instruction"])
 
         rgb_spatial = self.rgb_kv(rgb_tokens)  # (N, 16, 256)
         depth_spatial = self.depth_kv(depth_tokens)  # (N, 64, 256)
@@ -216,7 +229,9 @@ class LowLevelPolicy(nn.Module):
         single = _visual_ref(observations).ndim == 4
         if single:
             observations = {
-                k: (v[:, None] if k != "instruction" else v)
+                k: (v[:, None]
+                    if k not in ("instruction", "instruction_embedding")
+                    else v)
                 for k, v in observations.items()
             }
             masks = masks[:, None]

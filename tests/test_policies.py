@@ -188,3 +188,46 @@ def test_rcm_state_encoder(rng):
     outs, hid = enc.apply(params, rgb, depth, pa, hidden, masks)
     assert outs.shape == (T, B, H)
     assert hid.shape == (2, B, H)
+
+
+def test_high_level_cached_instruction_embedding_parity(rng):
+    """Eval-tick BERT cache: feeding the precomputed per-episode embedding
+    (observations["instruction_embedding"]) must reproduce the direct forward
+    exactly — the embedding is a pure function of the episode-constant ids."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robo_vln_tpu.models.hierarchical import HighLevelPolicy
+
+    mc = tiny_model_config()
+    policy = HighLevelPolicy(model_config=mc)
+    obs = tiny_obs(rng, t=2, b=2, rgb_hw=32, depth_hw=32)
+    masks = jnp.ones((2, 2)).at[:, 0].set(0.0)
+    prev = jnp.zeros((2, 2, 2))
+    variables = policy.init(
+        jax.random.PRNGKey(0), obs, policy.initial_hidden(2), prev, masks
+    )
+
+    direct, _ = policy.apply(
+        variables, obs, policy.initial_hidden(2), prev, masks
+    )
+    emb = policy.apply(
+        variables, obs["instruction"], method="embed_instruction"
+    )
+    cached, _ = policy.apply(
+        variables, {**obs, "instruction_embedding": emb},
+        policy.initial_hidden(2), prev, masks,
+    )
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(cached))
+
+    # single-step (eval tick) path too
+    obs1 = {k: (v[:, 0] if k != "instruction" else v) for k, v in obs.items()}
+    d1, _ = policy.apply(
+        variables, obs1, policy.initial_hidden(2), prev[:, 0], masks[:, 0]
+    )
+    c1, _ = policy.apply(
+        variables, {**obs1, "instruction_embedding": emb},
+        policy.initial_hidden(2), prev[:, 0], masks[:, 0],
+    )
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(c1))
