@@ -191,6 +191,36 @@ def test_batched_eval_num_envs(tmp_path, rng):
     assert os.path.exists(out)
 
 
+def test_batched_eval_hierarchical(tmp_path, rng):
+    """EVAL.NUM_ENVS>1 on the HCM pair: batched policy program per tick with
+    the per-episode BERT-embedding cache (recomputed whenever the stacked
+    instruction batch changes on an env reset)."""
+    from tests.test_envs import make_episode_json
+
+    cfg = tiny_config(
+        tmp_path, trainer="hierarchical_trainer", batch_size=1, hw=32
+    )
+    cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = make_episode_json(tmp_path, n_eps=4)
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 12
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 3
+    cfg.EVAL.NUM_ENVS = 2
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.eval.evaluator import eval_hierarchical_checkpoint
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    trainer = HierarchicalTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        stats = eval_hierarchical_checkpoint(trainer, "", writer, 0)
+    assert "ndtw" in stats and 0 <= stats["ndtw"] <= 1
+    assert "actual_success" in stats
+
+
 def test_eval_episode_count_exceeding_dataset_terminates(tmp_path, rng):
     """EVAL.EPISODE_COUNT beyond the dataset must evaluate each episode once
     and terminate (the id-keyed stats dict would otherwise spin forever)."""
