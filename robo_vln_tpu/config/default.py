@@ -131,6 +131,10 @@ _C.MODEL.INSTRUCTION_ENCODER.embedding_file = (
     "data/datasets/robo_vln_v1/embeddings.json.gz"
 )
 _C.MODEL.INSTRUCTION_ENCODER.fine_tune_embeddings = False
+# inert in the reference too (only a docstring mentions it)
+_C.MODEL.INSTRUCTION_ENCODER.dataset_vocab = (
+    "data/datasets/R2R_VLNCE_v1_preprocessed/train/train.json.gz"
+)
 _C.MODEL.INSTRUCTION_ENCODER.embedding_size = 50
 _C.MODEL.INSTRUCTION_ENCODER.hidden_size = 256
 _C.MODEL.INSTRUCTION_ENCODER.rnn_type = "LSTM"
@@ -166,6 +170,80 @@ _C.MODEL.VISUAL_LING_ATTN.d_model = 256
 _C.MODEL.VISUAL_LING_ATTN.h = 4
 _C.MODEL.VISUAL_LING_ATTN.d_ff = 1024
 _C.MODEL.VISUAL_LING_ATTN.dropout = 0.25
+
+# ---------------------------------------------------------------------------
+# Dead-in-the-reference stanzas, carried INERT for config-surface parity:
+# nothing in the reference consumes any of these outside its config file
+# (verified by grep over robo_vln_baselines), but user yamls / CLI overrides
+# that set them must keep porting verbatim.  Reference config/default.py
+# lines: INTER_MODULE_ATTN :146-153, ACTION_DECODER_TRANFORMER (sic),
+# HYBRID_STATE_DECODER, SEM_* semantic-map stanzas, LANG_ATTN, FLAT_AUX_LOSS,
+# HIERARCHICAL, ablate_sem_attn, dataset_vocab, scheduler_patience; DDP
+# :32-38 (NCCL knobs replaced by the TPU stanza); TORCH_GPU_ID.
+# ---------------------------------------------------------------------------
+_C.TORCH_GPU_ID = 0
+_C.DDP = ConfigTree()
+_C.DDP.distributed = False
+_C.DDP.world_size = 1
+_C.DDP.rank = 0
+_C.DDP.gpu = 0
+_C.DDP.dist_url = "env://"
+_C.DDP.dist_backend = "nccl"
+_C.MODEL.HIERARCHICAL = True
+_C.MODEL.ablate_sem_attn = False
+_C.MODEL.FLAT_AUX_LOSS = ConfigTree()
+_C.MODEL.FLAT_AUX_LOSS.use = False
+_C.MODEL.LANG_ATTN = ConfigTree()
+_C.MODEL.LANG_ATTN.use = False
+_C.MODEL.LANG_ATTN.hidden_size = 512
+_C.MODEL.SEM_ATTN_ENCODER = ConfigTree()
+_C.MODEL.SEM_ATTN_ENCODER.use = False
+_C.MODEL.SEM_ATTN_ENCODER.hidden_size = 512
+_C.MODEL.SEM_TEXT_ATTN = ConfigTree()
+_C.MODEL.SEM_TEXT_ATTN.use = False
+_C.MODEL.SEM_TEXT_ATTN.hidden_size = 512
+_C.MODEL.INTER_MODULE_ATTN = ConfigTree()
+_C.MODEL.INTER_MODULE_ATTN.N = 1
+_C.MODEL.INTER_MODULE_ATTN.in_features = 512
+_C.MODEL.INTER_MODULE_ATTN.fc_output = 512
+_C.MODEL.INTER_MODULE_ATTN.d_model = 512
+_C.MODEL.INTER_MODULE_ATTN.h = 4
+_C.MODEL.INTER_MODULE_ATTN.d_ff = 1024
+_C.MODEL.INTER_MODULE_ATTN.dropout = 0.1
+_C.MODEL.ACTION_DECODER_TRANFORMER = ConfigTree()  # (sic — reference typo)
+_C.MODEL.ACTION_DECODER_TRANFORMER.N = 1
+_C.MODEL.ACTION_DECODER_TRANFORMER.in_features = 512
+_C.MODEL.ACTION_DECODER_TRANFORMER.fc_output = 512
+_C.MODEL.ACTION_DECODER_TRANFORMER.d_model = 512
+_C.MODEL.ACTION_DECODER_TRANFORMER.h = 4
+_C.MODEL.ACTION_DECODER_TRANFORMER.d_ff = 1024
+_C.MODEL.ACTION_DECODER_TRANFORMER.dropout = 0.1
+_C.MODEL.HYBRID_STATE_DECODER = ConfigTree()
+_C.MODEL.HYBRID_STATE_DECODER.N = 1
+_C.MODEL.HYBRID_STATE_DECODER.d_in = 512
+_C.MODEL.HYBRID_STATE_DECODER.d_model = 512
+_C.MODEL.HYBRID_STATE_DECODER.d_out = 512
+_C.MODEL.HYBRID_STATE_DECODER.d_ff = 1024
+_C.MODEL.HYBRID_STATE_DECODER.h = 4
+_C.MODEL.HYBRID_STATE_DECODER.dropout = 0.1
+_C.MODEL.HYBRID_STATE_DECODER.in_features = 512
+_C.MODEL.HYBRID_STATE_DECODER.fc_output = 512
+_C.MODEL.HYBRID_STATE_DECODER.RNN_output_size = 512
+_C.MODEL.HYBRID_STATE_DECODER.hidden_size = 512
+_C.MODEL.HYBRID_STATE_DECODER.rnn_type = "LSTM"
+_C.MODEL.HYBRID_STATE_DECODER.prev_action_embedding_dim = 32
+_C.MODEL.SEM_MAP_TRANSFORMER = ConfigTree()
+_C.MODEL.SEM_MAP_TRANSFORMER.N = 1
+_C.MODEL.SEM_MAP_TRANSFORMER.d_in = 512
+_C.MODEL.SEM_MAP_TRANSFORMER.d_model = 512
+_C.MODEL.SEM_MAP_TRANSFORMER.d_out = 512
+_C.MODEL.SEM_MAP_TRANSFORMER.d_ff = 1024
+_C.MODEL.SEM_MAP_TRANSFORMER.h = 4
+_C.MODEL.SEM_MAP_TRANSFORMER.dropout = 0.1
+_C.MODEL.SEM_MAP_TRANSFORMER.downsample_size = 4
+_C.MODEL.SEM_MAP_TRANSFORMER.embedding_dim = 64
+_C.MODEL.SEM_MAP_TRANSFORMER.layer_norm_eps = 1e-12
+_C.MODEL.SEM_MAP_TRANSFORMER.n_output = 512
 
 _C.MODEL.RGB_ENCODER = ConfigTree()
 _C.MODEL.RGB_ENCODER.cnn_type = "TorchVisionResNet50"
@@ -214,6 +292,7 @@ _C.MODEL.TRANSFORMER.use_prev_action = True
 _C.MODEL.TRANSFORMER.lr = 1e-4
 _C.MODEL.TRANSFORMER.weight_decay = 1e-3
 _C.MODEL.TRANSFORMER.lr_drop = 4
+_C.MODEL.TRANSFORMER.scheduler_patience = 1e-4  # inert in the reference too
 _C.MODEL.TRANSFORMER.split_gpus = False
 _C.MODEL.TRANSFORMER.hidden_size = 512
 

@@ -60,6 +60,15 @@ _TC.TASK.GLOBAL_GPS_SENSOR = ConfigTree()
 _TC.TASK.GLOBAL_GPS_SENSOR.TYPE = "GlobalGPSSensor"
 _TC.TASK.GLOBAL_GPS_SENSOR.DIMENSIONALITY = 3
 
+_TC.TASK.HEADING_SENSOR = ConfigTree()
+_TC.TASK.HEADING_SENSOR.TYPE = "HeadingSensor"
+
+# discrete-action variant kept alongside the VLN one (reference
+# habitat_extensions/config/default.py:24-26; unused by robo_vln_task.yaml)
+_TC.TASK.ORACLE_ACTION_SENSOR = ConfigTree()
+_TC.TASK.ORACLE_ACTION_SENSOR.TYPE = "OracleActionSensor"
+_TC.TASK.ORACLE_ACTION_SENSOR.GOAL_RADIUS = 0.5
+
 _TC.TASK.VLN_ORACLE_ACTION_SENSOR = ConfigTree()
 _TC.TASK.VLN_ORACLE_ACTION_SENSOR.TYPE = "VLNOracleActionSensor"
 _TC.TASK.VLN_ORACLE_ACTION_SENSOR.GOAL_RADIUS = 0.5
@@ -82,22 +91,46 @@ _TC.TASK.SDTW.GT_PATH = "data/datasets/robo_vln_v1/{split}/{split}_gt.json.gz"
 _TC.TASK.SDTW.SUCCESS_DISTANCE = 3.0
 
 # TopDownMap (reference habitat_extensions/config/default.py:97-117; off by
-# default like robo_vln_task.yaml:36)
+# default like robo_vln_task.yaml:36).  FOG_OF_WAR / sample-point keys are
+# carried for yaml parity; the renderless map tile ignores them.
 _TC.TASK.TOP_DOWN_MAP = ConfigTree()
 _TC.TASK.TOP_DOWN_MAP.TYPE = "TopDownMap"
+_TC.TASK.TOP_DOWN_MAP.MAX_EPISODE_STEPS = 1000
 _TC.TASK.TOP_DOWN_MAP.MAP_PADDING = 3
+_TC.TASK.TOP_DOWN_MAP.NUM_TOPDOWN_MAP_SAMPLE_POINTS = 20000
 _TC.TASK.TOP_DOWN_MAP.MAP_RESOLUTION = 1250
 _TC.TASK.TOP_DOWN_MAP.DRAW_SOURCE = True
 _TC.TASK.TOP_DOWN_MAP.DRAW_BORDER = True
 _TC.TASK.TOP_DOWN_MAP.DRAW_SHORTEST_PATH = True
+_TC.TASK.TOP_DOWN_MAP.DRAW_VIEW_POINTS = True
 _TC.TASK.TOP_DOWN_MAP.DRAW_GOAL_POSITIONS = True
+_TC.TASK.TOP_DOWN_MAP.DRAW_GOAL_AABBS = True
+_TC.TASK.TOP_DOWN_MAP.FOG_OF_WAR = ConfigTree()
+_TC.TASK.TOP_DOWN_MAP.FOG_OF_WAR.DRAW = True
+_TC.TASK.TOP_DOWN_MAP.FOG_OF_WAR.VISIBILITY_DIST = 5.0
+_TC.TASK.TOP_DOWN_MAP.FOG_OF_WAR.FOV = 90
 
+# per-measure stanzas (TYPE keys are habitat registration glue, carried for
+# yaml parity; our measures registry keys off TASK.MEASUREMENTS names)
 _TC.TASK.SPL = ConfigTree()
 _TC.TASK.SPL.SUCCESS_DISTANCE = 3.0
 _TC.TASK.SUCCESS = ConfigTree()
+_TC.TASK.SUCCESS.TYPE = "Success"
 _TC.TASK.SUCCESS.SUCCESS_DISTANCE = 3.0
+_TC.TASK.ORACLE_SUCCESS = ConfigTree()
+_TC.TASK.ORACLE_SUCCESS.TYPE = "OracleSuccess"
+_TC.TASK.ORACLE_SUCCESS.SUCCESS_DISTANCE = 3.0
 _TC.TASK.ORACLE_SPL = ConfigTree()
+_TC.TASK.ORACLE_SPL.TYPE = "OracleSPL"
 _TC.TASK.ORACLE_SPL.SUCCESS_DISTANCE = 3.0
+_TC.TASK.PATH_LENGTH = ConfigTree()
+_TC.TASK.PATH_LENGTH.TYPE = "PathLength"
+_TC.TASK.NAVIGATION_ERROR = ConfigTree()
+_TC.TASK.NAVIGATION_ERROR.TYPE = "NavigationError"
+_TC.TASK.ORACLE_NAVIGATION_ERROR = ConfigTree()
+_TC.TASK.ORACLE_NAVIGATION_ERROR.TYPE = "OracleNavigationError"
+_TC.TASK.STEPS_TAKEN = ConfigTree()
+_TC.TASK.STEPS_TAKEN.TYPE = "StepsTaken"
 
 _TC.DATASET = ConfigTree()
 _TC.DATASET.TYPE = "VLN-CE-v1"
