@@ -321,6 +321,55 @@ def test_cli_real_data_formats_runbook(tmp_path, rng):
     assert prov["bert"]["status"] == "not_in_model"
 
 
+def test_cli_featurize_buffer_script(tmp_path, rng):
+    """scripts/featurize_buffer.py: pre-builds the feature cache; a second
+    run is a fingerprint-keyed no-op."""
+    from tests.test_trainers import fill_buffer
+
+    fill_buffer(str(tmp_path / "buf"), rng, n_eps=2, hw=32)
+    ov = [
+        "DAGGER.BATCH_SIZE", "1",
+        "DAGGER.LMDB_FEATURES_DIR", str(tmp_path / "buf"),
+        "DAGGER.MAX_INSTRUCTION_LEN", "12",
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", "32",
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", "32",
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", "32",
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", "32",
+        "MODEL.DEPTH_ENCODER.blocks", "[1, 1, 1, 1]",
+        "MODEL.RGB_ENCODER.blocks", "[1, 1, 1, 1]",
+        "MODEL.DEPTH_ENCODER.output_size", "8",
+        "MODEL.RGB_ENCODER.output_size", "16",
+        "MODEL.STATE_ENCODER.hidden_size", "32",
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", "60",
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", "False",
+        "MODEL.INSTRUCTION_ENCODER.hidden_size", "16",
+        "LOG_FILE", str(tmp_path / "feat.log"),
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache"
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(["/root/repo"] + pp)
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "scripts/featurize_buffer.py",
+             "--exp-config", "robo_vln_tpu/config/configs/seq2seq_robo.yaml"]
+            + ov,
+            cwd="/root/repo", env=env, timeout=600,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    proc = run()
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    assert os.path.exists(tmp_path / "buf.features" / "featurize_meta.json")
+    proc2 = run()
+    assert proc2.returncode == 0
+    assert "reusing featurized buffer" in proc2.stdout
+
+
 def test_cli_eval_and_nonlearning(tmp_path, rng):
     """run.py --run-type eval: checkpoint-folder polling dispatch, and the
     EVAL.EVAL_NONLEARNING branch (reference run.py:62)."""
