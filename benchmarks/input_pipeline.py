@@ -126,6 +126,11 @@ def main():
             "value": round(lfps, 1), "unit": "frames/s",
         }))
 
+        if not out:
+            raise SystemExit(
+                f"--episodes {args.episodes} is below the smallest measured "
+                "batch size (4); pass --episodes 4 or more"
+            )
         new_b, ref_b = bytes_per_frame()
         best = max(v for k, v in out.items())
         print(json.dumps({

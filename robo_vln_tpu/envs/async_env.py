@@ -17,7 +17,7 @@ synchronous convenience.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 
 
@@ -66,28 +66,38 @@ class AsyncEnvPool:
         self._pool.shutdown(wait=False)
 
 
-class DoubleBufferedLoader:
-    """Prefetches host batches and ships them to device one step ahead
-    (double buffering the host->device copy under compute)."""
+def window_stream(batches, shard_fn, split_fn):
+    """TBPTT-window prefetch: the worker thread decodes/collates the next
+    batch, splits it into windows, and device_puts ONE WINDOW AHEAD — the
+    host->device copy overlaps compute without materializing whole batches
+    on device (a T=1000 bucket batch is ~1 GB; a window is ~1/10th).
 
-    def __init__(self, iterator, put_fn: Callable, depth: int = 2):
-        import queue
-        import threading
+    Yields (is_first_window_of_batch, sharded_window); worker exceptions
+    propagate to the consumer."""
+    import queue
+    import threading
 
-        self._q = queue.Queue(maxsize=depth)
-        self._done = object()
+    q = queue.Queue(maxsize=2)  # two windows in flight + one consuming
+    done = object()
+    err = []
 
-        def worker():
-            for item in iterator:
-                self._q.put(put_fn(item))
-            self._q.put(self._done)
+    def worker():
+        try:
+            for batch in batches:
+                first = True
+                for w in split_fn(batch):
+                    q.put((first, shard_fn(w)))
+                    first = False
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            err.append(e)
+        finally:
+            q.put(done)
 
-        self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
-
-    def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._done:
-                return
-            yield item
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            if err:
+                raise err[0]
+            return
+        yield item

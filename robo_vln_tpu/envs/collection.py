@@ -159,26 +159,43 @@ def collect_dataset(config, features_dir: str, env=None,
 # ---------------------------------------------------------------------------
 
 def _collection_worker(config_dict, n_episodes: int, worker_idx: int,
-                       num_workers: int, scenes, queue) -> None:
-    """Child-process body: build THIS worker's env (round-robin scene split,
-    reference construct_envs env_utils.py:117-205), roll out `n_episodes`
-    expert episodes, ship each as packed bytes through the queue.  Spawned
-    (not forked): the parent may hold initialized JAX/tunnel threads that are
-    not fork-safe; the worker path imports no jax."""
+                       num_workers: int, scenes, vocab_file, queue) -> None:
+    """Child-process body: build THIS worker's env over a DISJOINT episode
+    share — round-robin scene split when content scenes are known (reference
+    construct_envs, env_utils.py:117-205), otherwise a round-robin episode
+    slice of the dataset — then roll out `n_episodes` expert episodes and
+    ship each as packed bytes.  Spawned (not forked): the parent may hold
+    initialized JAX/tunnel threads that are not fork-safe; the worker path
+    imports no jax."""
     from robo_vln_tpu.config.tree import ConfigTree
     from robo_vln_tpu.data.loader import pack_episode
 
     config = ConfigTree(config_dict)
     config = _collection_config(config)
+    dataset = None
     if scenes:
         config = config.clone().defrost()
         config.TASK_CONFIG.DATASET.CONTENT_SCENES = (
             scenes[worker_idx::num_workers] or scenes
         )
         config.freeze()
+    elif config.TASK_CONFIG.SIMULATOR.TYPE == "kinematic":
+        # no scene split available: slice the episode list directly so
+        # workers never duplicate each other's episodes
+        from robo_vln_tpu.data.dataset import VLNCEDatasetV1
+
+        dataset = VLNCEDatasetV1(config=config.TASK_CONFIG.DATASET)
+        dataset.episodes = dataset.episodes[worker_idx::num_workers]
+    else:
+        logger.warning(
+            f"collection worker {worker_idx}: no scene split available for "
+            f"SIMULATOR.TYPE={config.TASK_CONFIG.SIMULATOR.TYPE!r}; workers "
+            "may roll out overlapping episodes — set "
+            "TASK_CONFIG.DATASET.CONTENT_SCENES per process"
+        )
     is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
-    tokenizer = _make_tokenizer(config)
-    env = construct_env(config)
+    tokenizer = _make_tokenizer(config, vocab_file)
+    env = construct_env(config, dataset=dataset)
     vel_control = VelocityControl()
     try:
         for _ in range(n_episodes):
@@ -195,22 +212,22 @@ def _collect_dataset_parallel(config, features_dir: str, update_size: int,
     n = int(config.NUM_PROCESSES)
     ctx = mp.get_context("spawn")
     queue = ctx.Queue(maxsize=4 * n)
-    scenes = []
-    if config.TASK_CONFIG.SIMULATOR.TYPE == "kinematic":
-        from robo_vln_tpu.data.dataset import VLNCEDatasetV1
+    # scene names come from the episode json itself, so the split works for
+    # any backend whose dataset file is readable
+    from robo_vln_tpu.data.dataset import VLNCEDatasetV1
 
-        try:
-            scenes = VLNCEDatasetV1.get_scenes_to_load(
-                _collection_config(config).TASK_CONFIG.DATASET
-            )
-        except FileNotFoundError:
-            scenes = []
+    try:
+        scenes = VLNCEDatasetV1.get_scenes_to_load(
+            _collection_config(config).TASK_CONFIG.DATASET
+        )
+    except FileNotFoundError:
+        scenes = []
     per = [update_size // n + (1 if i < update_size % n else 0)
            for i in range(n)]
     procs = [
         ctx.Process(
             target=_collection_worker,
-            args=(config.to_dict(), per[i], i, n, scenes, queue),
+            args=(config.to_dict(), per[i], i, n, scenes, vocab_file, queue),
             daemon=True,
         )
         for i in range(n) if per[i] > 0

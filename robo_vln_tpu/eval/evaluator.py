@@ -201,7 +201,10 @@ def _check_backbone_provenance(trainer) -> Dict:
     a converted checkpoint without the weight files produces plausible-looking
     but meaningless stats.  Returns the provenance dict for the stats json."""
     prov = getattr(trainer, "pretrained_backbones", {}) or {}
-    missing = [k for k, v in prov.items() if v.get("status") == "missing_file"]
+    # "error" (file present but porting failed) leaves the trunk random just
+    # like a missing file — warn on both
+    missing = [k for k, v in prov.items()
+               if v.get("status") in ("missing_file", "error")]
     if missing:
         logger.warning(
             "EVAL WITH RANDOM BACKBONES: no pretrained weights were loaded "

@@ -49,8 +49,10 @@ def trunk_fingerprint(params: Dict, extra: Optional[Dict] = None) -> str:
 
 
 def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
-                     raw_dir: str, out_dir: str, chunk: int = 32) -> int:
-    """Write the featurized twin of `raw_dir` into `out_dir`.  Episodes keep
+                     raw_dir: str, out_dir: str, chunk: int = 32,
+                     start_key: int = 0) -> int:
+    """Write the featurized twin of `raw_dir` into `out_dir`, starting at
+    `start_key` (incremental append for a grown buffer).  Episodes keep
     every key except rgb/depth, which become `{rgb,depth}_features` (f16).
     One fixed-chunk jitted trunk program (frames padded to `chunk`) keeps the
     compile count at one."""
@@ -70,7 +72,7 @@ def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
     with TrajectoryStore(raw_dir) as src, \
             TrajectoryStore(out_dir, writable=True) as dst:
         total = len(src)
-        for key in range(total):
+        for key in range(start_key, total):
             obs, prev, corr, stop = serialization.unpackb(src.get(key))
             rgb = np.asarray(obs["rgb"])
             depth = np.asarray(obs["depth"])
@@ -110,24 +112,42 @@ def ensure_featurized(config, compute_dtype, params: Dict, extra: Dict,
     with TrajectoryStore(raw_dir) as src:
         src_len = len(src)
     meta_path = os.path.join(out_dir, _META)
+    start_key = 0
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("fingerprint") == fp and meta.get("episodes") == src_len:
+        have = meta.get("episodes", 0)
+        if meta.get("fingerprint") == fp and have == src_len:
             logger.info(f"reusing featurized buffer {out_dir} ({src_len} eps)")
             return out_dir
-        logger.info(
-            f"featurized buffer {out_dir} is stale "
-            "(trunk weights or source changed); rebuilding"
-        )
-        import shutil
+        if meta.get("fingerprint") == fp and 0 < have < src_len:
+            # append-only growth (keys are dense): featurize only the new
+            # tail — a DAgger loop must not re-run the trunks over the whole
+            # buffer every iteration
+            start_key = have
+            logger.info(
+                f"featurized buffer {out_dir}: appending episodes "
+                f"{start_key}..{src_len - 1}"
+            )
+        else:
+            logger.info(
+                f"featurized buffer {out_dir} is stale "
+                "(trunk weights changed or source shrank); rebuilding"
+            )
+            import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)
-    n = featurize_buffer(
-        config.MODEL, compute_dtype, params, extra, raw_dir, out_dir
+            shutil.rmtree(out_dir, ignore_errors=True)
+    n_new = featurize_buffer(
+        config.MODEL, compute_dtype, params, extra, raw_dir, out_dir,
+        start_key=start_key,
     )
     os.makedirs(out_dir, exist_ok=True)
     with open(meta_path, "w") as f:
-        json.dump({"fingerprint": fp, "episodes": n, "source": raw_dir}, f)
-    logger.info(f"featurized {n} episodes -> {out_dir}")
+        json.dump(
+            {"fingerprint": fp, "episodes": start_key + n_new,
+             "source": raw_dir}, f,
+        )
+    logger.info(
+        f"featurized {n_new} episodes ({start_key + n_new} total) -> {out_dir}"
+    )
     return out_dir

@@ -191,48 +191,52 @@ class HierarchicalTrainer(BaseTrainer):
         cfg = self.config
         lr_low = cfg.DAGGER.LR
         scheduler_step = getattr(self, "_scheduler_step", 0)
-        from robo_vln_tpu.envs.async_env import DoubleBufferedLoader
+        from robo_vln_tpu.envs.async_env import window_stream
 
-        # decode/collate + async host->device window transfer in the worker
-        # thread (see trainer.py train_epoch)
-        batches = DoubleBufferedLoader(
+        # decode/collate + async host->device transfer one WINDOW ahead in
+        # the worker thread (see trainer.py train_epoch)
+        hh = lh = None
+        lr_high = opt_lib.cyclic_triangular_lr(scheduler_step)
+        for is_first, window in window_stream(
             batches,
-            lambda b: [
-                mesh_lib.shard_batch(self.mesh, w)
-                for w in split_tbptt(b, cfg.DAGGER.tbptt_steps)
-            ],
-        )
-        for windows in batches:
-            B = self.global_batch
-            hh = jax.device_put(
-                self.high.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
+            lambda w: mesh_lib.shard_batch(self.mesh, w),
+            lambda b: split_tbptt(b, cfg.DAGGER.tbptt_steps),
+        ):
+            if is_first:
+                if hh is not None:
+                    scheduler_step += 1  # per outer batch (ref :739)
+                    lr_high = opt_lib.cyclic_triangular_lr(scheduler_step)
+                B = self.global_batch
+                hh = jax.device_put(
+                    self.high.initial_hidden(B),
+                    mesh_lib.hidden_sharding(self.mesh),
+                )
+                lh = jax.device_put(
+                    self.low.initial_hidden(B),
+                    mesh_lib.hidden_sharding(self.mesh),
+                )
+            self.state, hh, lh, metrics = self.train_step(
+                self.state, hh, lh, window, lr_high, lr_low
             )
-            lh = jax.device_put(
-                self.low.initial_hidden(B), mesh_lib.hidden_sharding(self.mesh)
+            writer.add_scalar(
+                "Train High Level Action Loss", metrics["high_level_loss"],
+                train_steps,
             )
-            lr_high = opt_lib.cyclic_triangular_lr(scheduler_step)
-            for window in windows:
-                self.state, hh, lh, metrics = self.train_step(
-                    self.state, hh, lh, window, lr_high, lr_low
-                )
-                writer.add_scalar(
-                    "Train High Level Action Loss", metrics["high_level_loss"],
-                    train_steps,
-                )
-                writer.add_scalar(
-                    "Train Low Level Action Loss",
-                    metrics["low_level_action_loss"], train_steps,
-                )
-                writer.add_scalar(
-                    "Train Low Level Stop Loss", metrics["low_level_stop_loss"],
-                    train_steps,
-                )
-                writer.add_scalar(
-                    "Train Low_level Total Loss",
-                    metrics["low_level_total_loss"], train_steps,
-                )
-                train_steps += 1
-            scheduler_step += 1  # per outer batch (hierarchical_trainer.py:739)
+            writer.add_scalar(
+                "Train Low Level Action Loss",
+                metrics["low_level_action_loss"], train_steps,
+            )
+            writer.add_scalar(
+                "Train Low Level Stop Loss", metrics["low_level_stop_loss"],
+                train_steps,
+            )
+            writer.add_scalar(
+                "Train Low_level Total Loss",
+                metrics["low_level_total_loss"], train_steps,
+            )
+            train_steps += 1
+        if hh is not None:
+            scheduler_step += 1  # the final batch
         self._scheduler_step = scheduler_step
         self.save_checkpoint(f"ckpt.{cfg.DAGGER.EPOCHS + epoch}")
         return train_steps

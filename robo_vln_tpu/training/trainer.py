@@ -193,32 +193,30 @@ class RoboVLNTrainer(BaseTrainer):
     def train_epoch(self, batches, epoch: int, writer, train_steps: int) -> int:
         cfg = self.config
         lr = cfg.DAGGER.LR
-        from robo_vln_tpu.envs.async_env import DoubleBufferedLoader
+        from robo_vln_tpu.envs.async_env import window_stream
 
-        # host decode/collate AND the host->device copy overlapped with device
-        # compute: the worker thread splits the next batch into TBPTT windows
-        # and device_puts them (async) while the current step runs
-        batches = DoubleBufferedLoader(
+        # host decode/collate AND the host->device copy overlapped with
+        # device compute, one WINDOW ahead (bounded device memory; worker
+        # errors propagate)
+        hidden = None
+        for is_first, window in window_stream(
             batches,
-            lambda b: [
-                mesh_lib.shard_batch(self.mesh, w)
-                for w in split_tbptt(b, cfg.DAGGER.tbptt_steps)
-            ],
-        )
-        for windows in batches:
-            hidden = jax.device_put(
-                self.policy.initial_hidden(self.global_batch),
-                mesh_lib.hidden_sharding(self.mesh),
-            )
-            for window in windows:
-                self.state, hidden, metrics = self.train_step(
-                    self.state, hidden, window, lr
+            lambda w: mesh_lib.shard_batch(self.mesh, w),
+            lambda b: split_tbptt(b, cfg.DAGGER.tbptt_steps),
+        ):
+            if is_first:
+                hidden = jax.device_put(
+                    self.policy.initial_hidden(self.global_batch),
+                    mesh_lib.hidden_sharding(self.mesh),
                 )
-                writer.add_scalar("Action Loss", metrics["action_loss"], train_steps)
-                writer.add_scalar("Stop Loss", metrics["stop_loss"], train_steps)
-                writer.add_scalar("Aux Loss", metrics["aux_loss"], train_steps)
-                writer.add_scalar("Total Loss", metrics["total_loss"], train_steps)
-                train_steps += 1
+            self.state, hidden, metrics = self.train_step(
+                self.state, hidden, window, lr
+            )
+            writer.add_scalar("Action Loss", metrics["action_loss"], train_steps)
+            writer.add_scalar("Stop Loss", metrics["stop_loss"], train_steps)
+            writer.add_scalar("Aux Loss", metrics["aux_loss"], train_steps)
+            writer.add_scalar("Total Loss", metrics["total_loss"], train_steps)
+            train_steps += 1
         self.save_checkpoint(f"ckpt.{cfg.DAGGER.EPOCHS + epoch}")
         return train_steps
 

@@ -240,3 +240,30 @@ def test_nonlearning_agents(tmp_path):
     stats = evaluate_agent(cfg)
     assert "ndtw" in stats and 0 <= stats["ndtw"] <= 1
     assert "success" in stats
+
+
+def test_window_stream_propagates_worker_errors():
+    """A failing decode/transfer in the prefetch worker must CRASH the
+    training loop with the real error, not hang it (VERDICT-round-3 review:
+    the old loader swallowed worker exceptions and blocked forever)."""
+    import pytest
+
+    from robo_vln_tpu.envs.async_env import window_stream
+
+    def batches():
+        yield {"x": 1}
+        raise RuntimeError("corrupt episode")
+
+    got = []
+    with pytest.raises(RuntimeError, match="corrupt episode"):
+        for is_first, w in window_stream(
+            batches(), shard_fn=lambda w: w, split_fn=lambda b: [b, b]
+        ):
+            got.append((is_first, w))
+    assert got == [(True, {"x": 1}), (False, {"x": 1})]
+
+    # and a clean stream terminates with batch boundaries intact
+    out = list(window_stream(
+        iter([{"a": 1}, {"a": 2}]), lambda w: w, lambda b: [b]
+    ))
+    assert out == [(True, {"a": 1}), (True, {"a": 2})]

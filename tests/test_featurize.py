@@ -158,3 +158,51 @@ def test_hier_trainer_feature_mode_end_to_end(tmp_path, rng):
     hl = [m["value"] for m in metrics
           if m["tag"] == "Train High Level Action Loss"]
     assert hl and np.isfinite(hl).all()
+
+
+def test_feature_cache_incremental_append(tmp_path, rng):
+    """Append-only buffer growth (the DAgger collect->train loop) featurizes
+    ONLY the new tail; existing feature episodes are byte-identical."""
+    from robo_vln_tpu.data.loader import write_episode
+    from robo_vln_tpu.data.trajectory_store import TrajectoryStore
+    from robo_vln_tpu.training.featurize import ensure_featurized
+
+    cfg, trainer = _synced_hier_trainer(tmp_path)
+    buf = cfg.DAGGER.LMDB_FEATURES_DIR
+    fill_buffer(buf, rng, n_eps=2, hw=32)
+    params = jax.device_get(trainer.state.high.params)
+
+    d = ensure_featurized(cfg, jnp.float32, params, trainer._high_extra, buf)
+    with TrajectoryStore(d) as store:
+        assert len(store) == 2
+        ep0_before = store.get(0)
+
+    # append two more episodes (collection appends at len(store), never
+    # rewrites existing keys)
+    def episode(t=6, hw=32, instr_len=10):
+        obs = {
+            "rgb": rng.integers(0, 255, (t, hw, hw, 3)).astype(np.uint8),
+            "depth": rng.random((t, hw, hw, 1)).astype(np.float16),
+            "progress": np.linspace(0, 1, t).astype(np.float32),
+            "vln_oracle_action_sensor": rng.integers(1, 4, (t, 1)).astype(
+                np.float64
+            ),
+            "instruction": np.tile(
+                rng.integers(1, 50, (1, instr_len)).astype(np.float64), (t, 1)
+            ),
+        }
+        return obs, rng.random((t, 2)), rng.random((t, 2)), [t - 1] * t
+
+    with TrajectoryStore(buf, writable=True) as store:
+        for k in (2, 3):
+            write_episode(store, k, *episode())
+        store.flush()
+
+    d2 = ensure_featurized(cfg, jnp.float32, params, trainer._high_extra, buf)
+    assert d2 == d
+    meta = json.load(open(os.path.join(d, "featurize_meta.json")))
+    assert meta["episodes"] == 4
+    with TrajectoryStore(d) as store:
+        assert len(store) == 4
+        assert store.get(0) == ep0_before  # untouched, not recomputed
+        assert store.get(3)  # new tail featurized
