@@ -68,6 +68,13 @@ _C.EVAL.EPISODE_COUNT = 2
 # over the batch (TPU-native — eval wall time scales ~1/N; the reference is
 # single-env). 1 = the reference-faithful single-env driver incl. videos.
 _C.EVAL.NUM_ENVS = 1
+# On-device closed-loop eval (kinematic backend only): the whole rollout —
+# velocity integration, procedural observations, polyline geodesics, policy
+# tick, termination — is ONE jitted lax.while_loop program; one transfer per
+# episode batch instead of one round trip per 30 Hz tick (eval/ondevice.py).
+# Fast path: float32 device sim, not bit-identical to the float64 host sim.
+_C.EVAL.ON_DEVICE = False
+_C.EVAL.ON_DEVICE_BATCH = 8
 _C.EVAL.EVAL_NONLEARNING = False
 _C.EVAL.NONLEARNING = ConfigTree()
 _C.EVAL.NONLEARNING.AGENT = "RandomAgent"
