@@ -522,18 +522,30 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
                          checkpoint_index: int = 0) -> Dict[str, float]:
     config = _eval_config(trainer, checkpoint_path)
     n_envs = config.EVAL.NUM_ENVS
-    if n_envs > 1:
-        from robo_vln_tpu.envs.env_utils import construct_envs
-
-        envs = construct_envs(config, num_envs=n_envs)
-    else:
-        env = construct_env(config)
 
     if trainer.policy is None:
         trainer._setup_policy()
     _load_eval_weights(trainer, checkpoint_path, kind="flat")
     provenance = _check_backbone_provenance(trainer)
     extra = {"pretrained_backbones": provenance} if provenance else None
+
+    if config.EVAL.ON_DEVICE:
+        if config.TASK_CONFIG.SIMULATOR.TYPE == "kinematic":
+            return _eval_flat_on_device(
+                trainer, config, writer, checkpoint_index, extra
+            )
+        logger.warning(
+            "EVAL.ON_DEVICE needs the kinematic backend "
+            f"(SIMULATOR.TYPE={config.TASK_CONFIG.SIMULATOR.TYPE!r}); "
+            "falling back to the host driver"
+        )
+
+    if n_envs > 1:
+        from robo_vln_tpu.envs.env_utils import construct_envs
+
+        envs = construct_envs(config, num_envs=n_envs)
+    else:
+        env = construct_env(config)
     policy = trainer.policy
     bound = trainer._bound_policy()
     params = trainer.state.params
@@ -701,14 +713,14 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
             cm_attention.set_sow_attention(False)
 
 
-def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
-                         extra) -> Dict[str, float]:
+def _eval_on_device(trainer, config, writer, checkpoint_index: int, extra,
+                    policy_step, params, init_hidden,
+                    instruction_extra_fn) -> Dict[str, float]:
     """EVAL.ON_DEVICE: one jitted whole-rollout program per episode batch
     (eval/ondevice.py) — no per-tick host round trips.  Same stats-json
     contract as the host drivers."""
     from robo_vln_tpu.data.dataset import VLNCEDatasetV1
     from robo_vln_tpu.eval import ondevice
-    from robo_vln_tpu.training.hierarchical_trainer import _bind
 
     dataset = VLNCEDatasetV1(config=config.TASK_CONFIG.DATASET)
     want = min(config.EVAL.EPISODE_COUNT, len(dataset.episodes))
@@ -719,21 +731,6 @@ def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
     is_bert = config.MODEL.INSTRUCTION_ENCODER.is_bert
     L = config.DAGGER.MAX_INSTRUCTION_LEN
     max_steps = config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
-
-    high_b = _bind(trainer.high, trainer._high_extra)
-    low_b = _bind(trainer.low, trainer._low_extra)
-    trunk_fn = trainer._maybe_trunk_fn()
-
-    def policy_step(params, obs, hidden, prev, mask):
-        hp, lp = params
-        if trunk_fn is not None:
-            obs = {**obs, **trunk_fn(hp, obs)}
-        logits, hh = high_b.apply({"params": hp}, obs, hidden[0], prev, mask)
-        pred = jnp.argmax(logits, axis=-1)
-        actions, stop, lh = low_b.apply(
-            {"params": lp}, obs, hidden[1], prev, mask, pred
-        )
-        return actions, stop, (hh, lh)
 
     rollout = ondevice.make_rollout_fn(policy_step, config, max_steps)
     bs = int(config.EVAL.get("ON_DEVICE_BATCH", 8))
@@ -750,7 +747,6 @@ def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
         ids[: len(raw)] = raw
         return ids
 
-    params = (trainer.state.high.params, trainer.state.low.params)
     stats_episodes: Dict = {}
     for s in range(0, len(episodes), bs):
         chunk = episodes[s:s + bs]
@@ -760,18 +756,11 @@ def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
         ids = np.stack([instruction_ids(ep) for ep in padded])
         instruction_obs = {
             "instruction": jnp.asarray(ids),
-            # frozen BERT runs ONCE per batch here, outside the rollout loop
-            "instruction_embedding": trainer.high.apply(
-                {"params": trainer.state.high.params, **trainer._high_extra},
-                jnp.asarray(ids), method="embed_instruction",
-            ),
+            **instruction_extra_fn(jnp.asarray(ids)),
         }
-        hidden = (
-            trainer.high.initial_hidden(bs), trainer.low.initial_hidden(bs)
-        )
         result = jax.device_get(rollout(
             params, {k: jnp.asarray(v) for k, v in packed.items()},
-            instruction_obs, hidden,
+            instruction_obs, init_hidden(bs),
         ))
         for i, ep in enumerate(chunk[:real]):
             stats_episodes[ep.episode_id] = ondevice.episode_stats(
@@ -783,6 +772,59 @@ def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
         )
     return _aggregate_and_log(stats_episodes, config, writer, checkpoint_index,
                               extra)
+
+
+def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
+                         extra) -> Dict[str, float]:
+    from robo_vln_tpu.training.hierarchical_trainer import _bind
+
+    high_b = _bind(trainer.high, trainer._high_extra)
+    low_b = _bind(trainer.low, trainer._low_extra)
+    trunk_fn = trainer._maybe_trunk_fn()
+
+    def policy_step(params, obs, hidden, prev, mask):
+        hp, lp = params
+        if trunk_fn is not None:
+            obs = {**obs, **trunk_fn(hp, obs)}
+        logits, hh = high_b.apply({"params": hp}, obs, hidden[0], prev, mask)
+        pred = jnp.argmax(logits, axis=-1)
+        actions, stop, lh = low_b.apply(
+            {"params": lp}, obs, hidden[1], prev, mask, pred
+        )
+        return actions, stop, (hh, lh)
+
+    def instruction_extra(ids):
+        # frozen BERT runs ONCE per batch, outside the rollout loop
+        return {
+            "instruction_embedding": trainer.high.apply(
+                {"params": trainer.state.high.params, **trainer._high_extra},
+                ids, method="embed_instruction",
+            )
+        }
+
+    return _eval_on_device(
+        trainer, config, writer, checkpoint_index, extra, policy_step,
+        (trainer.state.high.params, trainer.state.low.params),
+        lambda b: (trainer.high.initial_hidden(b),
+                   trainer.low.initial_hidden(b)),
+        instruction_extra,
+    )
+
+
+def _eval_flat_on_device(trainer, config, writer, checkpoint_index: int,
+                         extra) -> Dict[str, float]:
+    bound = trainer._bound_policy()
+
+    def policy_step(params, obs, hidden, prev, mask):
+        actions, stop, hidden, _ = bound.apply(
+            {"params": params}, obs, hidden, prev, mask
+        )
+        return actions, stop, hidden
+
+    return _eval_on_device(
+        trainer, config, writer, checkpoint_index, extra, policy_step,
+        trainer.state.params, trainer.policy.initial_hidden, lambda ids: {},
+    )
 
 
 def _save_attention_plot(salience, episode, video_dir: str,

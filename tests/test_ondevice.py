@@ -143,3 +143,32 @@ def test_ondevice_eval_end_to_end_matches_host(tmp_path, rng):
     assert dev_stats["steps_taken"] == pytest.approx(
         host_stats["steps_taken"], abs=1.0
     )
+
+
+def test_ondevice_eval_flat_policy(tmp_path, rng):
+    """EVAL.ON_DEVICE also serves the flat trainer (generic policy_step)."""
+    from tests.test_envs import make_episode_json
+    from tests.test_trainers import tiny_config
+
+    cfg = tiny_config(tmp_path, batch_size=1)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = make_episode_json(tmp_path, n_eps=2)
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 8
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 2
+    cfg.EVAL.ON_DEVICE = True
+    cfg.EVAL.ON_DEVICE_BATCH = 2
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    trainer = RoboVLNTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        stats = eval_flat_checkpoint(trainer, "", writer, 0)
+    assert "ndtw" in stats and 0 <= stats["ndtw"] <= 1
+    assert "actual_success" in stats and "spl" in stats
