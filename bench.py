@@ -168,9 +168,16 @@ def measure_tpu_train_fps(batch=None, t=None, reps=5, feature_mode=False):
     rng = np.random.default_rng(1)
     if feature_mode:
         # trunk outputs at the production shapes: TV ResNet50 @224 -> 7x7x2048,
-        # GN depth ResNet50 @256 -> 8x8x32 (f16, as stored by featurize)
+        # GN depth ResNet50 @256 -> 8x8x32 (f16, as stored by featurize);
+        # the per-episode frozen-BERT row rides along too, so the step never
+        # runs BERT (training/featurize.py instruction_embedding)
         obs = {
             "instruction": obs["instruction"],
+            "instruction_embedding": jnp.asarray(
+                rng.standard_normal(
+                    (batch, obs["instruction"].shape[1], 768)
+                ), jnp.float16
+            ),
             "progress": obs["progress"],
             "rgb_features": jnp.asarray(
                 rng.standard_normal((batch, t, 7, 7, 2048)), jnp.float16

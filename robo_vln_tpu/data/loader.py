@@ -175,7 +175,10 @@ def collate_batch(
 
     obs0 = samples[0][0]
     batch: Dict[str, np.ndarray] = {}
-    sensor_keys = [k for k in obs0 if k != "instruction"]
+    # episode-level (not per-step) keys; instruction_embedding is the
+    # precomputed frozen-BERT row from the feature store (training/featurize.py)
+    episode_keys = ("instruction", "instruction_embedding")
+    sensor_keys = [k for k in obs0 if k not in episode_keys]
     for k in sensor_keys:
         arr0 = np.asarray(obs0[k])
         shape = (B, T) + arr0.shape[1:]
@@ -190,6 +193,14 @@ def collate_batch(
         ids = np.asarray(s[0]["instruction"]).reshape(-1)[:L]
         instruction[b, : len(ids)] = ids
     batch["instruction"] = instruction
+
+    if "instruction_embedding" in obs0:
+        D = np.asarray(obs0["instruction_embedding"]).shape[-1]
+        emb = np.zeros((B, L, D), np.float16)
+        for b, s in enumerate(samples):
+            e = np.asarray(s[0]["instruction_embedding"])[:L]
+            emb[b, : len(e)] = e
+        batch["instruction_embedding"] = emb
 
     prev_actions = np.zeros((B, T, 2), np.float32)
     corrected = np.zeros((B, T, 2), np.float32)
@@ -244,6 +255,7 @@ def split_tbptt(batch: Dict[str, np.ndarray], tbptt_steps: int):
     for s in range(0, T, tbptt_steps):
         e = min(s + tbptt_steps, T)
         yield {
-            k: (v if k == "instruction" else v[:, s:e])
+            k: (v if k in ("instruction", "instruction_embedding")
+                else v[:, s:e])
             for k, v in batch.items()
         }

@@ -136,10 +136,13 @@ class HighLevelPolicy(nn.Module):
             rgb_tokens = rgb_tokens * 0
 
         # Frozen BERT over the (episode-constant) instruction — once per
-        # window, or skipped entirely when the eval driver supplies the
-        # per-episode cached embedding
+        # window, or skipped entirely when the eval driver or the feature
+        # store (training/featurize.py, f16) supplies the per-episode
+        # cached embedding
         if "instruction_embedding" in observations:
-            embedded_b = observations["instruction_embedding"]  # (B, L, 768)
+            embedded_b = observations["instruction_embedding"].astype(
+                self.compute_dtype
+            )  # (B, L, 768)
         else:
             embedded_b = self.embed_instruction(observations["instruction"])
 

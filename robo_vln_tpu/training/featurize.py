@@ -11,9 +11,20 @@ of raw frames; the policies consume them through the encoders'
 precomputed-feature path and the train step shrinks to the trainable stack
 (cross-modal attention + LSTMs + heads).
 
-The cache is keyed by a fingerprint of the trunk weights — re-grafting
-different trunks invalidates and rebuilds it.  Closed-loop eval always runs
-the full forward (frames arrive from the simulator).
+For BERT-based models (the HCM agent) the frozen instruction embedding is a
+pure function of the buffer too: `featurize_buffer` additionally stores one
+`instruction_embedding` (L, 768) f16 row per episode — BERT over the ids
+padded to DAGGER.MAX_INSTRUCTION_LEN, exactly what the collated train batch
+would feed it (no attention mask, the reference quirk) — and the high-level
+policy consumes it through its `instruction_embedding` fast path
+(models/hierarchical.py).  Measured: the frozen BERT forward is 4.3 ms of
+the 5.8 ms feature-mode forward at B=4,T=50
+(benchmarks/feature_step_profile.py `bert`).
+
+The cache is keyed by a fingerprint of the frozen weights (trunks + BERT) —
+re-grafting different backbones invalidates and rebuilds it.  Closed-loop
+eval always runs the full forward (frames arrive from the simulator), with
+its own per-episode BERT cache (eval/evaluator.py).
 """
 
 from __future__ import annotations
@@ -36,10 +47,12 @@ _META = "featurize_meta.json"
 
 
 def trunk_fingerprint(params: Dict, extra: Optional[Dict] = None) -> str:
-    """sha256 over the frozen trunk weights (params + BN stats)."""
+    """sha256 over the frozen weights (conv trunks + BERT, params + BN
+    stats)."""
     h = hashlib.sha256()
     for tree in (params, (extra or {}).get("batch_stats", {})):
-        for path in (("rgb_encoder", "cnn"), ("depth_encoder", "visual_encoder")):
+        for path in (("rgb_encoder", "cnn"), ("depth_encoder", "visual_encoder"),
+                     ("embedding_layer",)):
             node = tree
             for k in path:
                 node = node.get(k, {}) if isinstance(node, dict) else {}
@@ -50,12 +63,13 @@ def trunk_fingerprint(params: Dict, extra: Optional[Dict] = None) -> str:
 
 def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
                      raw_dir: str, out_dir: str, chunk: int = 32,
-                     start_key: int = 0) -> int:
+                     start_key: int = 0, max_instruction_len: int = 200) -> int:
     """Write the featurized twin of `raw_dir` into `out_dir`, starting at
     `start_key` (incremental append for a grown buffer).  Episodes keep
-    every key except rgb/depth, which become `{rgb,depth}_features` (f16).
-    One fixed-chunk jitted trunk program (frames padded to `chunk`) keeps the
-    compile count at one."""
+    every key except rgb/depth, which become `{rgb,depth}_features` (f16);
+    BERT models additionally gain a per-episode `instruction_embedding`
+    (max_instruction_len, 768) f16 row.  One fixed-chunk jitted trunk
+    program (frames padded to `chunk`) keeps the compile count at one."""
     from robo_vln_tpu.models import make_shared_trunk_fn
 
     trunk_fn = make_shared_trunk_fn(model_config, compute_dtype, extra)
@@ -67,6 +81,24 @@ def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
             feats["rgb_features"].astype(np.float16),
             feats["depth_features"].astype(np.float16),
         )
+
+    embed_fn = None
+    if "embedding_layer" in params:
+        from robo_vln_tpu.models.encoders.bert import BertEncoder
+
+        bc = model_config.BERT
+        bert = BertEncoder(
+            vocab_size=bc.vocab_size, hidden_size=bc.hidden_size,
+            num_layers=bc.num_layers, num_heads=bc.num_heads,
+            intermediate_size=bc.intermediate_size,
+            max_position_embeddings=bc.max_position_embeddings,
+            compute_dtype=compute_dtype,
+        )
+
+        @jax.jit
+        def embed_fn(params, ids):
+            out = bert.apply({"params": params["embedding_layer"]}, ids[None])
+            return out[0].astype(np.float16)
 
     n_eps = 0
     with TrajectoryStore(raw_dir) as src, \
@@ -93,6 +125,18 @@ def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
             new_obs["depth_features"] = np.concatenate(depth_f).astype(
                 _FEATURE_DTYPE
             )
+            if embed_fn is not None:
+                # the ids exactly as the collated train batch feeds BERT: the
+                # episode row zero-padded to MAX_INSTRUCTION_LEN (pad tokens
+                # are attended — the reference's no-attention-mask quirk, so
+                # the pad length is part of the function)
+                row = np.asarray(obs["instruction"]).reshape(t, -1)[0]
+                ids = np.zeros(max_instruction_len, np.int32)
+                n_ids = min(len(row), max_instruction_len)
+                ids[:n_ids] = row[:n_ids]
+                new_obs["instruction_embedding"] = np.asarray(
+                    embed_fn(params, ids)
+                )
             dst.put(key, serialization.packb([new_obs, prev, corr, stop]))
             n_eps += 1
             if n_eps % 100 == 0:
@@ -140,6 +184,7 @@ def ensure_featurized(config, compute_dtype, params: Dict, extra: Dict,
     n_new = featurize_buffer(
         config.MODEL, compute_dtype, params, extra, raw_dir, out_dir,
         start_key=start_key,
+        max_instruction_len=config.DAGGER.MAX_INSTRUCTION_LEN,
     )
     os.makedirs(out_dir, exist_ok=True)
     with open(meta_path, "w") as f:

@@ -26,6 +26,22 @@ from robo_vln_tpu.ops import losses
 from robo_vln_tpu.training import optimizers as opt_lib
 
 
+def _dropout_key(step):
+    """Per-step dropout key on the TPU hardware RNG (jax's "rbg" impl).
+
+    The default threefry2x32 impl computes the dropout mask bits with a
+    counter-based hash whose cost is real: 13.4 ms of the 35.97 ms
+    feature-mode HCM train step at B=4,T=50 — 37% of the step spent
+    generating random bits (benchmarks/feature_step_profile.py, grads_drop
+    29.8 ms vs grads 16.4 ms).  "rbg" lowers bit generation to XLA's
+    RngBitGenerator (the accelerator's hardware PRNG) while keeping
+    threefry-based fold_in/split, so dropout stays deterministic per
+    (seed, step) — only the bit stream differs, which nothing depends on
+    (the reference's torch RNG stream is different anyway).
+    """
+    return jax.random.fold_in(jax.random.key(17, impl="rbg"), step)
+
+
 def _pad_episode_correction(batch):
     """Tail batches pad the BATCH axis with empty episodes (data/loader.py).
     The velocity MSE keeps the reference's mean-over-everything denominator
@@ -101,7 +117,7 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
         losses_fn = jax.checkpoint(losses_fn)
 
     def step_fn(state: TrainState, hidden, batch, lr):
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        dropout_rng = _dropout_key(state.step)
 
         def loss_fn(params):
             a, s, x, new_hidden = losses_fn(params, batch, hidden, dropout_rng)
@@ -114,8 +130,15 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
         updates, opt_state = opt_lib.apply_updates(
             tx, grads, state.opt_state, state.params, lr
         )
+        # frozen leaves pass through UNTOUCHED (not p + 0): with donation XLA
+        # aliases them input->output instead of re-writing ~150M pretrained
+        # params to HBM every step, and their (zero) grad chains become dead
+        # code — measured ~3 ms of the feature-mode step
+        # (benchmarks/feature_step_profile.py `opt`)
+        mask = opt_lib.trainable_mask(state.params)
         params = jax.tree.map(
-            lambda p, u: p + jnp.where(finite, u, 0.0), state.params, updates
+            lambda p, u, m: p + jnp.where(finite, u, 0.0) if m else p,
+            state.params, updates, mask,
         )
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old)
@@ -212,9 +235,7 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
         # versa (the low level trains on ORACLE sub-goals,
         # hierarchical_trainer.py:522-535), so one combined grad equals the
         # reference's two sequential backward passes while sharing the forward.
-        dropout_rng = jax.random.fold_in(
-            jax.random.PRNGKey(17), state.high.step
-        )
+        dropout_rng = _dropout_key(state.high.step)
 
         def loss_fn(both):
             hp, lp = both
@@ -237,20 +258,23 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
         def guarded(new, old):
             return jnp.where(finite, new, old) if hasattr(new, "shape") else new
 
+        # frozen leaves (BERT + both conv trunks, the bulk of the 176.8M
+        # params) pass through untouched — donation aliases them, and their
+        # zero-grad chains dead-code-eliminate (see make_flat_train_step)
+        hmask = opt_lib.trainable_mask(state.high.params)
+        lmask = opt_lib.trainable_mask(state.low.params)
+
+        def upd(p, u, m):
+            return p + jnp.where(finite, u, 0.0) if m else p
+
         new_state = HierTrainState(
             TrainState(
-                jax.tree.map(
-                    lambda p, u: p + jnp.where(finite, u, 0.0),
-                    state.high.params, hupd,
-                ),
+                jax.tree.map(upd, state.high.params, hupd, hmask),
                 jax.tree.map(guarded, hopt, state.high.opt_state),
                 state.high.step + 1,
             ),
             TrainState(
-                jax.tree.map(
-                    lambda p, u: p + jnp.where(finite, u, 0.0),
-                    state.low.params, lupd,
-                ),
+                jax.tree.map(upd, state.low.params, lupd, lmask),
                 jax.tree.map(guarded, lopt, state.low.opt_state),
                 state.low.step + 1,
             ),

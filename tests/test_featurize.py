@@ -62,6 +62,11 @@ def test_feature_mode_losses_match_raw(tmp_path, rng):
     feat_batch = next(iter(trainer._batches(feat_dir, seed=0)))
     assert "rgb" not in feat_batch and "rgb_features" in feat_batch
     assert feat_batch["rgb_features"].dtype == np.float16
+    # BERT model -> the per-episode frozen instruction embedding is stored
+    # too and flows through collate as an episode-level (B, L, D) key
+    emb = feat_batch["instruction_embedding"]
+    assert emb.dtype == np.float16
+    assert emb.shape[:2] == feat_batch["instruction"].shape
     np.testing.assert_array_equal(
         raw_batch["corrected_actions"], feat_batch["corrected_actions"]
     )
@@ -84,6 +89,38 @@ def test_feature_mode_losses_match_raw(tmp_path, rng):
     raw = losses(raw_batch, trunk_fn)
     feat = losses(feat_batch, trunk_fn)  # "rgb" absent -> trunk_fn unused
     np.testing.assert_allclose(feat, raw, rtol=2e-2, atol=2e-3)  # f16 storage
+
+
+def test_feature_store_instruction_embedding_parity(tmp_path, rng):
+    """The stored instruction_embedding row IS BERT over the collated ids:
+    the fast path and the in-model embed path agree to f16 storage
+    tolerance, so training from the store matches the full forward."""
+    cfg, trainer = _synced_hier_trainer(tmp_path)
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=2, hw=32)
+
+    feat_dir, _ = trainer._featurized_dirs()
+    feat_batch = next(iter(trainer._batches(feat_dir, seed=0)))
+
+    from robo_vln_tpu.training.hierarchical_trainer import _bind
+
+    high_b = _bind(trainer.high, trainer._high_extra)
+    ref = high_b.apply(
+        {"params": trainer.state.high.params},
+        jnp.asarray(feat_batch["instruction"]),
+        method="embed_instruction",
+    )
+    # tail-padding episodes carry a ZERO embedding row (collate) while the
+    # in-model path runs BERT over their all-zero ids — every loss masks
+    # those episodes out, so parity is over the real episodes only
+    real = feat_batch["valid_mask"].any(axis=1)
+    assert real.sum() == 2
+    # f16 storage + reassociation across different batch shapes (the store
+    # embeds (1, L), the model (B, L)) through 12 attention layers
+    np.testing.assert_allclose(
+        np.asarray(feat_batch["instruction_embedding"], np.float32)[real],
+        np.asarray(ref, np.float32)[real],
+        rtol=5e-3, atol=1e-2,
+    )
 
 
 def test_feature_cache_fingerprint_invalidation(tmp_path, rng):
