@@ -39,10 +39,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 MODES = ["step", "fwd", "high_fwd", "low_fwd", "bert", "grads",
-         "grads_drop", "grads_nobert", "opt"]
+         "grads_drop", "grads_nobert", "opt",
+         "trunks", "trunk_rgb", "trunk_depth"]
 
 
-def _setup(batch=4, t=50):
+def _setup(batch=4, t=50, raw=False):
     import jax.numpy as jnp
 
     import __graft_entry__ as g
@@ -62,16 +63,17 @@ def _setup(batch=4, t=50):
     trunk_fn = make_shared_trunk_fn(cfg.MODEL, dtype, h_extra)
 
     rng = np.random.default_rng(1)
-    obs = {
-        "instruction": obs["instruction"],
-        "progress": obs["progress"],
-        "rgb_features": jnp.asarray(
-            rng.standard_normal((batch, t, 7, 7, 2048)), jnp.float16
-        ),
-        "depth_features": jnp.asarray(
-            rng.standard_normal((batch, t, 8, 8, 32)), jnp.float16
-        ),
-    }
+    if not raw:  # feature-store batch (the default); raw=True keeps frames
+        obs = {
+            "instruction": obs["instruction"],
+            "progress": obs["progress"],
+            "rgb_features": jnp.asarray(
+                rng.standard_normal((batch, t, 7, 7, 2048)), jnp.float16
+            ),
+            "depth_features": jnp.asarray(
+                rng.standard_normal((batch, t, 8, 8, 32)), jnp.float16
+            ),
+        }
     batch_data = {
         **obs,
         "vln_oracle_action_sensor": jnp.asarray(
@@ -103,7 +105,8 @@ def measure(mode, batch=4, t=50, reps=7):
     import jax.numpy as jnp
 
     (cfg, high, low, hp, lp, h_extra, l_extra, trunk_fn, batch_data,
-     hh, lh, opt_lib, steps_lib) = _setup(batch, t)
+     hh, lh, opt_lib, steps_lib) = _setup(
+        batch, t, raw=mode.startswith("trunk"))
 
     class _B:
         def __init__(self, policy, extra):
@@ -237,6 +240,24 @@ def measure(mode, batch=4, t=50, reps=7):
         def run():
             g = gfn((hp, lp))
             return jax.tree_util.tree_leaves(g)[0].sum()
+
+    elif mode.startswith("trunk"):
+        # frozen conv trunks on raw frames (the raw-step delta vs feature
+        # mode; also the eval-tick conv cost).  trunk_rgb / trunk_depth
+        # consume one output only — XLA dead-code-eliminates the other trunk.
+        want = {"trunks": ("rgb_features", "depth_features"),
+                "trunk_rgb": ("rgb_features",),
+                "trunk_depth": ("depth_features",)}[mode]
+
+        @jax.jit
+        def prog(hp):
+            f = trunk_fn(
+                hp, {"rgb": batch_data["rgb"], "depth": batch_data["depth"]}
+            )
+            return sum(jnp.mean(f[k].astype(jnp.float32)) for k in want)
+
+        def run():
+            return prog(hp)
 
     elif mode == "opt":
         tx_h = opt_lib.masked(opt_lib.adamw(1e-5), hp)

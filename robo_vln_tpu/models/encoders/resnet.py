@@ -115,18 +115,19 @@ class GNBottleneck(nn.Module):
     stride: int = 1
     expansion: int = 4
     compute_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32  # GN output dtype; stats always f32 (flax)
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = _Conv(self.planes, 1, 1, self.compute_dtype, name="conv1")(x)
-        out = nn.GroupNorm(self.ngroups, dtype=jnp.float32, name="gn1")(out)
+        out = nn.GroupNorm(self.ngroups, dtype=self.norm_dtype, name="gn1")(out)
         out = nn.relu(out).astype(self.compute_dtype)
         out = _Conv(self.planes, 3, self.stride, self.compute_dtype, name="conv2")(out)
-        out = nn.GroupNorm(self.ngroups, dtype=jnp.float32, name="gn2")(out)
+        out = nn.GroupNorm(self.ngroups, dtype=self.norm_dtype, name="gn2")(out)
         out = nn.relu(out).astype(self.compute_dtype)
         out = _Conv(self.planes * self.expansion, 1, 1, self.compute_dtype, name="conv3")(out)
-        out = nn.GroupNorm(self.ngroups, dtype=jnp.float32, name="gn3")(out)
+        out = nn.GroupNorm(self.ngroups, dtype=self.norm_dtype, name="gn3")(out)
 
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             identity = _Conv(
@@ -134,9 +135,11 @@ class GNBottleneck(nn.Module):
                 name="downsample_conv",
             )(x)
             identity = nn.GroupNorm(
-                self.ngroups, dtype=jnp.float32, name="downsample_gn"
+                self.ngroups, dtype=self.norm_dtype, name="downsample_gn"
             )(identity)
-        return nn.relu(out + identity).astype(self.compute_dtype)
+        return nn.relu(
+            out.astype(self.compute_dtype) + identity.astype(self.compute_dtype)
+        ).astype(self.compute_dtype)
 
 
 class GNResNet(nn.Module):
@@ -147,6 +150,7 @@ class GNResNet(nn.Module):
     ngroups: int = 16
     blocks: Sequence[int] = (3, 4, 6, 3)
     compute_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @property
     def final_channels(self) -> int:
@@ -159,7 +163,7 @@ class GNResNet(nn.Module):
             self.base_planes, (7, 7), (2, 2), [(3, 3), (3, 3)],
             use_bias=False, dtype=self.compute_dtype, name="conv1",
         )(x)
-        x = nn.GroupNorm(self.ngroups, dtype=jnp.float32, name="gn1")(x)
+        x = nn.GroupNorm(self.ngroups, dtype=self.norm_dtype, name="gn1")(x)
         x = nn.relu(x).astype(self.compute_dtype)
         x = max_pool_3x3_s2(x)
         planes = self.base_planes
@@ -171,6 +175,7 @@ class GNResNet(nn.Module):
                     self.ngroups,
                     stride if bi == 0 else 1,
                     compute_dtype=self.compute_dtype,
+                    norm_dtype=self.norm_dtype,
                     name=f"layer{li + 1}_{bi}",
                 )(x)
             planes *= 2
@@ -187,6 +192,7 @@ class GNResNetEncoder(nn.Module):
     spatial_size: int = 256
     blocks: Sequence[int] = (3, 4, 6, 3)
     compute_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @property
     def final_spatial(self) -> int:
@@ -204,13 +210,14 @@ class GNResNetEncoder(nn.Module):
     def __call__(self, x):  # x: (B, H, W, C) depth in [0, 1]
         x = GNResNet(
             self.in_channels, self.base_planes, self.ngroups, self.blocks,
-            compute_dtype=self.compute_dtype, name="backbone",
+            compute_dtype=self.compute_dtype, norm_dtype=self.norm_dtype,
+            name="backbone",
         )(x)
         x = nn.Conv(
             self.compression_channels, (3, 3), (1, 1), [(1, 1), (1, 1)],
             use_bias=False, dtype=self.compute_dtype, name="compression_conv",
         )(x)
-        x = nn.GroupNorm(1, dtype=jnp.float32, name="compression_gn")(x)
+        x = nn.GroupNorm(1, dtype=self.norm_dtype, name="compression_gn")(x)
         return nn.relu(x).astype(self.compute_dtype)
 
 
