@@ -20,11 +20,17 @@ Prints one JSON line per measurement and a summary line.  Run:
 
 import argparse
 import json
+import os
 import shutil
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 from robo_vln_tpu.data.loader import (
     SENSOR_DTYPES,
@@ -37,32 +43,47 @@ from robo_vln_tpu.data.trajectory_store import TrajectoryStore
 RGB_HW, DEPTH_HW, INSTR_LEN = 224, 256, 200
 
 
-def _episode(rng, t, legacy_f64=False):
-    rgb = rng.integers(0, 255, (t, RGB_HW, RGB_HW, 3)).astype(
-        np.float64 if legacy_f64 else SENSOR_DTYPES["rgb"]
-    )
-    depth = rng.random((t, DEPTH_HW, DEPTH_HW, 1)).astype(
-        np.float64 if legacy_f64 else SENSOR_DTYPES["depth"]
-    )
-    obs = {
-        "rgb": rgb,
-        "depth": depth,
+def _episode(rng, t, legacy_f64=False, features=False):
+    if features:
+        # feature-store layout (training/featurize.py): f16 trunk outputs +
+        # the per-episode frozen-BERT row instead of raw frames
+        obs = {
+            "rgb_features": rng.standard_normal((t, 7, 7, 2048)).astype(
+                np.float16
+            ),
+            "depth_features": rng.standard_normal((t, 8, 8, 32)).astype(
+                np.float16
+            ),
+            "instruction_embedding": rng.standard_normal(
+                (INSTR_LEN, 768)
+            ).astype(np.float16),
+        }
+    else:
+        obs = {
+            "rgb": rng.integers(0, 255, (t, RGB_HW, RGB_HW, 3)).astype(
+                np.float64 if legacy_f64 else SENSOR_DTYPES["rgb"]
+            ),
+            "depth": rng.random((t, DEPTH_HW, DEPTH_HW, 1)).astype(
+                np.float64 if legacy_f64 else SENSOR_DTYPES["depth"]
+            ),
+        }
+    obs.update({
         "progress": np.linspace(0, 1, t).astype(np.float32),
         "vln_oracle_action_sensor": rng.integers(1, 4, (t, 1)).astype(np.float32),
         "instruction": np.tile(
             rng.integers(1, 3000, (1, INSTR_LEN)).astype(np.float32), (t, 1)
         ),
-    }
+    })
     prev = rng.random((t, 2))
     corr = rng.random((t, 2))
     return obs, prev, corr, [t - 2] * t
 
 
-def build_buffer(path, n_eps, t, legacy_f64=False, seed=0):
+def build_buffer(path, n_eps, t, legacy_f64=False, seed=0, features=False):
     rng = np.random.default_rng(seed)
     with TrajectoryStore(path, writable=True) as store:
         for k in range(n_eps):
-            write_episode(store, k, *_episode(rng, t, legacy_f64))
+            write_episode(store, k, *_episode(rng, t, legacy_f64, features))
         store.flush()
 
 
@@ -115,6 +136,26 @@ def main():
                 "frames": frames, "seconds": round(dt, 2),
             }))
 
+        # feature-store buffers (the fastest training mode consumes these;
+        # ~205 KB/frame f16 vs ~157 KB raw — measure whether the 1-core host
+        # can feed the 13.5k f/s B=16 device rate)
+        build_buffer(f"{tmp}/feat", args.episodes, args.t, seed=2,
+                     features=True)
+        for bs in (8, 16):
+            if bs > args.episodes:
+                continue
+            ffps, fframes, fdt = measure_loader_fps(
+                f"{tmp}/feat", bs, args.t, args.episodes,
+                warm_batches=1 if args.episodes > bs else 0,
+            )
+            out[f"feature_loader_fps_b{bs}"] = round(ffps, 1)
+            print(json.dumps({
+                "metric": f"feature-store loader decode+collate B={bs} "
+                          f"T={args.t}",
+                "value": round(ffps, 1), "unit": "frames/s",
+                "frames": fframes, "seconds": round(fdt, 2),
+            }))
+
         build_buffer(f"{tmp}/legacy", args.legacy_episodes, args.t,
                      legacy_f64=True, seed=1)
         lfps, lframes, ldt = measure_loader_fps(
@@ -132,7 +173,7 @@ def main():
                 "batch size (4); pass --episodes 4 or more"
             )
         new_b, ref_b = bytes_per_frame()
-        best = max(v for k, v in out.items())
+        best = max(v for k, v in out.items() if k.startswith("loader_fps"))
         print(json.dumps({
             "metric": "input pipeline summary",
             "loader_fps": best,
