@@ -9,6 +9,10 @@ Validated on the real TPU chip (round 1, 2026-08-16):
   eval:       success 1.0, spl 1.0, ndtw 0.648 on the toy episode set
 
 Usage (from the repo root):  python scripts/e2e_smoke.py [out_dir]
+E2E_FEATURE_MODE=1 runs the same pipeline through the feature store
+(DAGGER.PRELOAD_TRUNK_FEATURES: trunk + frozen-BERT rows precomputed on
+the chip by training/featurize.py, training from features, closed-loop
+eval still the full forward).
 """
 import gzip
 import json
@@ -73,6 +77,8 @@ def main():
     cfg.EVAL.EPISODE_COUNT = 1
     cfg.EVAL.VAL_LOG_DIR = f"{OUT}/val"
     cfg.EVAL.USE_CKPT_CONFIG = False
+    if os.environ.get("E2E_FEATURE_MODE"):
+        cfg.DAGGER.PRELOAD_TRUNK_FEATURES = True
     cfg.freeze()
 
     t0 = time.time()
@@ -85,6 +91,42 @@ def main():
     from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
 
     trainer = HierarchicalTrainer(cfg)
+    if os.environ.get("E2E_FEATURE_MODE"):
+        # production invariant: both modules' frozen trunks come from the
+        # same weight files.  The smoke runs without those files (random
+        # init), so mirror the invariant with COPIES (never aliases — the
+        # donated step must not see one buffer twice, docs/TPU_ENV_NOTES.md).
+        # train() re-runs _setup_policy, so hook the sync in after it.
+        import jax
+
+        def _sync_trunks():
+            copy = lambda t: jax.tree.map(np.array, t)  # noqa: E731
+            hp = trainer.state.high.params
+            lp = dict(trainer.state.low.params)
+            lp["rgb_encoder"] = dict(lp["rgb_encoder"])
+            lp["rgb_encoder"]["cnn"] = copy(hp["rgb_encoder"]["cnn"])
+            lp["depth_encoder"] = dict(lp["depth_encoder"])
+            lp["depth_encoder"]["visual_encoder"] = copy(
+                hp["depth_encoder"]["visual_encoder"]
+            )
+            low_extra = dict(trainer._low_extra)
+            low_extra["batch_stats"] = copy(
+                {**low_extra["batch_stats"],
+                 "rgb_encoder":
+                     trainer._high_extra["batch_stats"]["rgb_encoder"]}
+            )
+            trainer._low_extra = low_extra
+            trainer.state = trainer.state._replace(
+                low=trainer.state.low._replace(params=lp)
+            )
+
+        orig_setup = trainer._setup_policy
+
+        def patched(*a, **k):
+            orig_setup(*a, **k)
+            _sync_trunks()
+
+        trainer._setup_policy = patched
     trainer.train()
     print(f"[train] 1 epoch in {time.time() - t0:.1f}s", flush=True)
 
