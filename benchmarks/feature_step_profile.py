@@ -19,9 +19,20 @@ feature_mode=True path) at the bench shapes, each in its OWN subprocess
   opt          optimizer update alone on precomputed zero grads
 
 MEASURED (v5e, B=4 T=50, overhead-subtracted; see docs/ROUND3.md):
-  step 35.97 | fwd 5.82 | bert 4.27 | grads 16.39 | opt 4.40 ms
-  -> frozen BERT is ~73%% of the forward; step - (grads+opt) ~ 15 ms
-     (dropout threefry + update tree-maps) — quantified by grads_drop.
+  BEFORE the round-3 fixes:
+    step 35.97 | fwd 5.82 | bert 4.27 | grads 16.39 | grads_drop 29.83 |
+    grads_nobert 14.26 | opt 4.40 | high_fwd 1.16 | low_fwd ~0 ms
+    -> threefry dropout bits 13.4 ms (37%%), frozen BERT 4.3 of the 5.8 ms
+       forward, frozen-leaf p+0 writes ~3 ms.
+  AFTER (rbg dropout + frozen passthrough + BERT feature rows):
+    step 23.42 ms -> 8806 f/s at B=4 (13541 at B=16, 15468 at B=32).
+  Backward localization of the remaining step:
+    high_grads 8.69 (high CE fwd+bwd, BERT precomputed, no dropout),
+    attn_grads 5.47 (the VisualLingAttn pair alone at exact shapes)
+    -> the cross-modal attention block is the dominant remaining cost at
+       ~36%% MXU (vs ~93 TF/s forward); its pallas rewrite already lost to
+       XLA at these shapes (r2, ops/pallas_attention.py), so this is the
+       stopping point — the residue amortizes at B>=16 anyway.
 
 Run: python benchmarks/feature_step_profile.py            (runs all modes)
      python benchmarks/feature_step_profile.py --measure <mode>
@@ -40,7 +51,8 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 MODES = ["step", "fwd", "high_fwd", "low_fwd", "bert", "grads",
          "grads_drop", "grads_nobert", "opt",
-         "trunks", "trunk_rgb", "trunk_depth"]
+         "trunks", "trunk_rgb", "trunk_depth",
+         "high_grads", "attn_grads"]
 
 
 def _setup(batch=4, t=50, raw=False):
@@ -239,6 +251,71 @@ def measure(mode, batch=4, t=50, reps=7):
 
         def run():
             g = gfn((hp, lp))
+            return jax.tree_util.tree_leaves(g)[0].sum()
+
+    elif mode == "high_grads":
+        # backward localization: grad of the high-level CE alone, BERT
+        # precomputed, no dropout — isolates the trainable-stack backward
+        emb = jax.jit(
+            lambda hp: bhigh._p.apply(
+                {**h_extra, "params": hp}, batch_data["instruction"],
+                method="embed_instruction",
+            )
+        )(hp)
+        jax.block_until_ready(emb)
+
+        def loss_high(hp):
+            obs = {k: batch_data[k] for k in (
+                "progress", "rgb_features", "depth_features")}
+            obs["instruction_embedding"] = emb
+            logits, _ = bhigh.apply(
+                {"params": hp}, obs, hh, batch_data["prev_actions"],
+                batch_data["not_done_masks"],
+            )
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        gfn = jax.jit(jax.grad(loss_high))
+
+        def run():
+            g = gfn(hp)
+            return jax.tree_util.tree_leaves(g)[0].sum()
+
+    elif mode == "attn_grads":
+        # the cross-modal attention pair alone (fwd+bwd), at the step's
+        # exact shapes: queries (N=B*T, L, 768)-projected, rgb kv 16 tokens,
+        # depth kv 64 tokens, d_model 256, 1 layer
+        from robo_vln_tpu.models.transformer import VisualLingAttn
+
+        va = cfg.MODEL.VISUAL_LING_ATTN
+        attn = VisualLingAttn(
+            d_model=va.d_model, h=va.h, d_ff=va.d_ff, n_layers=va.N,
+            vis_in_features=va.vis_in_features,
+            ins_in_features=va.ins_in_features, dropout=va.dropout,
+            compute_dtype=jnp.bfloat16,
+        )
+        n = batch_data["not_done_masks"].shape[0] * \
+            batch_data["not_done_masks"].shape[1]
+        rng2 = np.random.default_rng(3)
+        emb = jnp.asarray(rng2.standard_normal((n, 200, 768)), jnp.bfloat16)
+        rgb_kv = jnp.asarray(rng2.standard_normal((n, 16, 256)), jnp.bfloat16)
+        depth_kv = jnp.asarray(
+            rng2.standard_normal((n, 64, 256)), jnp.bfloat16
+        )
+        avars = attn.init(jax.random.PRNGKey(0), emb[:2], rgb_kv[:2])
+        emb, rgb_kv, depth_kv, avars = jax.device_put(
+            (emb, rgb_kv, depth_kv, avars), jax.devices()[0]
+        )
+
+        def loss_attn(avars):
+            a = attn.apply(avars, emb, rgb_kv)
+            b = attn.apply(avars, emb, depth_kv)
+            return (jnp.mean(a.astype(jnp.float32) ** 2)
+                    + jnp.mean(b.astype(jnp.float32) ** 2))
+
+        gfn = jax.jit(jax.grad(loss_attn))
+
+        def run():
+            g = gfn(avars)
             return jax.tree_util.tree_leaves(g)[0].sum()
 
     elif mode.startswith("trunk"):
