@@ -20,7 +20,11 @@ noise.  GN-bf16 REJECTED; `norm_dtype` stays f32 by default.  NOTE the
 absolute number vs trunk_depth 13.8 ms (feature_step_profile) /
 direct_bf16 12.9 ms (trunk_gap_probe): same program, ±4 ms dispatch
 variance per overhead probe — single-run ms-level deltas on this tunnel
-are not trustworthy; see trunk_gap_probe.py.
+are not trustworthy; see trunk_gap_probe.py.  Methodology caveat: this
+probe compiles FOUR model-sized programs in one process (two variants x
+two batch shapes), deviating from the one-compile-per-process rule
+(docs/TPU_ENV_NOTES.md) that bench.py/feature_step_profile.py follow —
+a further reason its absolute timings are indicative only.
 """
 
 import json
@@ -70,12 +74,10 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
+    from benchmarks.stem_probe import measure_overhead
+
     float(trivial(x))
-    t0 = min(
-        (lambda: (lambda s: (float(trivial(x)), time.perf_counter() - s)[1])(
-            time.perf_counter()))()
-        for _ in range(10)
-    )
+    t0 = measure_overhead(lambda: float(trivial(x)))
     print(json.dumps({
         "gn_f32_ms": round((timed(f32) - t0) * 1e3, 3),
         "gn_bf16_ms": round((timed(f16) - t0) * 1e3, 3),

@@ -33,6 +33,17 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def measure_overhead(trivial_call, reps=10):
+    """min wall time of a trivial jitted dispatch (the per-call tunnel cost
+    subtracted from every measurement — bench.py methodology)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        trivial_call()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def space_to_depth(x):
     b, h, w, c = x.shape
     y = x.reshape(b, h // 2, 2, w // 2, 2, c)
@@ -103,11 +114,7 @@ def main():
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        t0 = min(
-            (lambda: (lambda s: (float(trivial(x)), time.perf_counter() - s)[1])(
-                time.perf_counter()))()
-            for _ in range(10)
-        )
+        t0 = measure_overhead(lambda: float(trivial(x)))
         results[f"{name}_stem_ms"] = round((timed(stem) - t0) * 1e3, 3)
         results[f"{name}_s2d_ms"] = round((timed(s2d) - t0) * 1e3, 3)
 

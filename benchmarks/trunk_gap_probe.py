@@ -93,12 +93,9 @@ def main():
             float(fn())
             ts.append(time.perf_counter() - t0)
         t_prog = min(ts)
-        t_0 = min(
-            (lambda: (lambda s: (float(trivial(depth_flat_bf16)),
-                                 time.perf_counter() - s)[1])(
-                time.perf_counter()))()
-            for _ in range(10)
-        )
+        from benchmarks.stem_probe import measure_overhead
+
+        t_0 = measure_overhead(lambda: float(trivial(depth_flat_bf16)))
         out[name] = round((t_prog - t_0) * 1e3, 3)
     print(json.dumps(out))
 

@@ -137,5 +137,6 @@ def measure(kind: str, batch=4, t=50, reps=7, train=False):
 
 
 if __name__ == "__main__":
-    kind = sys.argv[1] if len(sys.argv) > 1 else "cma"
-    measure(kind, train="--train" in sys.argv)
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    measure(positional[0] if positional else "cma",
+            train="--train" in sys.argv)

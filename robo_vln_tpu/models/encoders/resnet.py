@@ -137,9 +137,9 @@ class GNBottleneck(nn.Module):
             identity = nn.GroupNorm(
                 self.ngroups, dtype=self.norm_dtype, name="downsample_gn"
             )(identity)
-        return nn.relu(
-            out.astype(self.compute_dtype) + identity.astype(self.compute_dtype)
-        ).astype(self.compute_dtype)
+        # residual add in the GN output dtype (f32 by default) — downcasting
+        # before the add would silently change the default path's numerics
+        return nn.relu(out + identity).astype(self.compute_dtype)
 
 
 class GNResNet(nn.Module):

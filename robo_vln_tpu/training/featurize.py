@@ -153,6 +153,7 @@ def ensure_featurized(config, compute_dtype, params: Dict, extra: Dict,
     grew)."""
     out_dir = raw_dir.rstrip("/") + ".features"
     fp = trunk_fingerprint(params, extra)
+    max_len = config.DAGGER.MAX_INSTRUCTION_LEN
     with TrajectoryStore(raw_dir) as src:
         src_len = len(src)
     meta_path = os.path.join(out_dir, _META)
@@ -161,10 +162,15 @@ def ensure_featurized(config, compute_dtype, params: Dict, extra: Dict,
         with open(meta_path) as f:
             meta = json.load(f)
         have = meta.get("episodes", 0)
-        if meta.get("fingerprint") == fp and have == src_len:
+        # the stored BERT rows bake the pad length in (pad tokens are
+        # attended — no-mask quirk), so a MAX_INSTRUCTION_LEN change makes
+        # BERT-model caches stale just like a weight change would
+        len_ok = ("embedding_layer" not in params
+                  or meta.get("max_instruction_len") == max_len)
+        if meta.get("fingerprint") == fp and len_ok and have == src_len:
             logger.info(f"reusing featurized buffer {out_dir} ({src_len} eps)")
             return out_dir
-        if meta.get("fingerprint") == fp and 0 < have < src_len:
+        if meta.get("fingerprint") == fp and len_ok and 0 < have < src_len:
             # append-only growth (keys are dense): featurize only the new
             # tail — a DAgger loop must not re-run the trunks over the whole
             # buffer every iteration
@@ -175,22 +181,21 @@ def ensure_featurized(config, compute_dtype, params: Dict, extra: Dict,
             )
         else:
             logger.info(
-                f"featurized buffer {out_dir} is stale "
-                "(trunk weights changed or source shrank); rebuilding"
+                f"featurized buffer {out_dir} is stale (frozen weights or "
+                "MAX_INSTRUCTION_LEN changed, or source shrank); rebuilding"
             )
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
     n_new = featurize_buffer(
         config.MODEL, compute_dtype, params, extra, raw_dir, out_dir,
-        start_key=start_key,
-        max_instruction_len=config.DAGGER.MAX_INSTRUCTION_LEN,
+        start_key=start_key, max_instruction_len=max_len,
     )
     os.makedirs(out_dir, exist_ok=True)
     with open(meta_path, "w") as f:
         json.dump(
             {"fingerprint": fp, "episodes": start_key + n_new,
-             "source": raw_dir}, f,
+             "source": raw_dir, "max_instruction_len": max_len}, f,
         )
     logger.info(
         f"featurized {n_new} episodes ({start_key + n_new} total) -> {out_dir}"

@@ -94,31 +94,23 @@ def main():
     if os.environ.get("E2E_FEATURE_MODE"):
         # production invariant: both modules' frozen trunks come from the
         # same weight files.  The smoke runs without those files (random
-        # init), so mirror the invariant with COPIES (never aliases — the
-        # donated step must not see one buffer twice, docs/TPU_ENV_NOTES.md).
-        # train() re-runs _setup_policy, so hook the sync in after it.
-        import jax
+        # init), so sync them with the shared copy-not-alias helper
+        # (__graft_entry__._sync_frozen_trunks — donated steps must never
+        # see one buffer twice, docs/TPU_ENV_NOTES.md).  train() re-runs
+        # _setup_policy, so hook the sync in after it.
+        import __graft_entry__ as g
 
         def _sync_trunks():
-            copy = lambda t: jax.tree.map(np.array, t)  # noqa: E731
-            hp = trainer.state.high.params
-            lp = dict(trainer.state.low.params)
-            lp["rgb_encoder"] = dict(lp["rgb_encoder"])
-            lp["rgb_encoder"]["cnn"] = copy(hp["rgb_encoder"]["cnn"])
-            lp["depth_encoder"] = dict(lp["depth_encoder"])
-            lp["depth_encoder"]["visual_encoder"] = copy(
-                hp["depth_encoder"]["visual_encoder"]
-            )
-            low_extra = dict(trainer._low_extra)
-            low_extra["batch_stats"] = copy(
-                {**low_extra["batch_stats"],
-                 "rgb_encoder":
-                     trainer._high_extra["batch_stats"]["rgb_encoder"]}
-            )
-            trainer._low_extra = low_extra
+            hvars = {"params": trainer.state.high.params,
+                     **trainer._high_extra}
+            lvars = {"params": trainer.state.low.params, **trainer._low_extra}
+            lvars = g._sync_frozen_trunks(hvars, lvars)
             trainer.state = trainer.state._replace(
-                low=trainer.state.low._replace(params=lp)
+                low=trainer.state.low._replace(params=lvars["params"])
             )
+            # mutate the captured dict IN PLACE: _setup_policy already bound
+            # self._low_extra into the train/val step closures
+            trainer._low_extra["batch_stats"] = lvars["batch_stats"]
 
         orig_setup = trainer._setup_policy
 

@@ -197,6 +197,39 @@ def test_hier_trainer_feature_mode_end_to_end(tmp_path, rng):
     assert hl and np.isfinite(hl).all()
 
 
+def test_feature_cache_stale_on_instruction_len_change(tmp_path, rng):
+    """The stored BERT rows bake the pad length in (pad tokens attended),
+    so changing DAGGER.MAX_INSTRUCTION_LEN must invalidate a BERT-model
+    feature cache."""
+    from robo_vln_tpu.training.featurize import ensure_featurized
+
+    cfg, trainer = _synced_hier_trainer(tmp_path)
+    fill_buffer(cfg.DAGGER.LMDB_FEATURES_DIR, rng, n_eps=2, hw=32)
+    params = jax.device_get(trainer.state.high.params)
+
+    d = ensure_featurized(cfg, jnp.float32, params, trainer._high_extra,
+                          trainer.features_dir)
+    meta = json.load(open(os.path.join(d, "featurize_meta.json")))
+    assert meta["max_instruction_len"] == cfg.DAGGER.MAX_INSTRUCTION_LEN
+
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.DAGGER.MAX_INSTRUCTION_LEN = cfg.DAGGER.MAX_INSTRUCTION_LEN + 7
+    cfg2.freeze()
+    d2 = ensure_featurized(cfg2, jnp.float32, params, trainer._high_extra,
+                           trainer.features_dir)
+    meta2 = json.load(open(os.path.join(d2, "featurize_meta.json")))
+    assert meta2["max_instruction_len"] == cfg2.DAGGER.MAX_INSTRUCTION_LEN
+
+    from robo_vln_tpu.data import serialization
+    from robo_vln_tpu.data.trajectory_store import TrajectoryStore
+
+    with TrajectoryStore(d2) as store:
+        obs, *_ = serialization.unpackb(store.get(0))
+    assert obs["instruction_embedding"].shape[0] == \
+        cfg2.DAGGER.MAX_INSTRUCTION_LEN
+
+
 def test_feature_cache_incremental_append(tmp_path, rng):
     """Append-only buffer growth (the DAgger collect->train loop) featurizes
     ONLY the new tail; existing feature episodes are byte-identical."""
