@@ -52,6 +52,10 @@ _C.TPU.USE_PALLAS = True  # fused kernels where profitable (falls back off-TPU)
 # Auto-disabled (with a log line) when the two policies' trunk weights are
 # not bitwise identical, so correctness never depends on the flag.
 _C.TPU.SHARE_FROZEN_TRUNKS = True
+# overwrite the low level's frozen trunks with copies of the high level's at
+# policy setup (models.sync_frozen_trunks) — random-init smokes/studies only;
+# real pretrained files already make them identical
+_C.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = False
 # fused attention kernel (ops/pallas_attention.py): parity-tested but measured
 # SLOWER than XLA at HCM shapes on v5e (N=200,L=200,S=16,h=4: 960us vs 149us —
 # the op is too small; XLA's batched dot_general wins), so off by default
@@ -85,6 +89,13 @@ _C.EVAL.VAL_LOG_DIR = "validation_logging"
 # ---------------------------------------------------------------------------
 _C.DAGGER = ConfigTree()
 _C.DAGGER.LR = 1e-4
+# high-level CyclicLR schedule (reference hardcodes these in the torch
+# CyclicLR ctor, hierarchical_trainer.py:337; configurable here so small
+# studies can shorten the ramp)
+_C.DAGGER.CYCLIC_BASE_LR = 2e-6
+_C.DAGGER.CYCLIC_MAX_LR = 1e-4
+_C.DAGGER.CYCLIC_STEP_SIZE_UP = 1000
+_C.DAGGER.CYCLIC_STEP_SIZE_DOWN = 30000
 _C.DAGGER.ITERATIONS = 1
 _C.DAGGER.EPOCHS = 10
 _C.DAGGER.UPDATE_SIZE = 5000

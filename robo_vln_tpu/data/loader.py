@@ -122,6 +122,11 @@ class TrajectoryDataset:
             instruction = np.asarray(out["instruction"]).reshape(
                 len(prev_actions), -1
             )[0]
+            # the per-step GloVe id rows ride in the buffer for GloVe-side
+            # training (obs_utils.transform_obs); they are episode-level and
+            # variable-length, so they must never reach the per-step sensor
+            # collate (mixed instruction lengths break its static shapes)
+            out.pop("glove_tokens", None)
         else:
             # buffers collected with is_bert=True carry BOTH id types
             # (robovln_data_train.yaml sets is_bert: True; transform_obs keeps

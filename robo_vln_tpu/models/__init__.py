@@ -109,6 +109,29 @@ def frozen_trunks_identical(high_params, low_params, high_extra=None,
     return True
 
 
+def sync_frozen_trunks(high_vars, low_vars):
+    """Return low_vars with its frozen trunk weights (params + BN stats)
+    replaced by COPIES of the high level's — the production invariant (both
+    modules load the SAME pretrained DDPPO/ImageNet files, reference
+    resnet_encoders.py:35-51,144).  Random-init studies/smokes call this so
+    TPU.SHARE_FROZEN_TRUNKS and feature-store training engage exactly as in
+    production.  Copies, not aliases: a donated train step must never be
+    handed the same buffer twice (docs/TPU_ENV_NOTES.md)."""
+    low_vars = _jax.tree.map(lambda x: x, low_vars)  # shallow rebuild
+    for col in ("params", "batch_stats"):
+        if col not in high_vars or col not in low_vars:
+            continue
+        for path in _TRUNK_PATHS:
+            src = _subtree(high_vars[col], path)
+            if src is None or _subtree(low_vars[col], path) is None:
+                continue
+            node = low_vars[col]
+            for key in path[:-1]:
+                node = node[key]
+            node[path[-1]] = _jax.tree.map(_np.array, src)
+    return low_vars
+
+
 def make_shared_trunk_fn(model_config, compute_dtype, high_extra):
     """(high_params, obs) -> {"rgb_features", "depth_features"} computed ONCE
     with the high level's frozen trunks; both policies consume the features

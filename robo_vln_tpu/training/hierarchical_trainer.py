@@ -90,6 +90,10 @@ class HierarchicalTrainer(BaseTrainer):
                    key=lambda d: order.get(d.get("status"), 0))
             for k in high_prov
         }
+        if cfg.TPU.SYNC_FROZEN_TRUNKS_ON_INIT:
+            from robo_vln_tpu.models import sync_frozen_trunks
+
+            lvars = sync_frozen_trunks(hvars, lvars)
         hp, lp = hvars["params"], lvars["params"]
         self._high_extra = {k: v for k, v in hvars.items() if k != "params"}
         self._low_extra = {k: v for k, v in lvars.items() if k != "params"}
@@ -196,7 +200,12 @@ class HierarchicalTrainer(BaseTrainer):
         # decode/collate + async host->device transfer one WINDOW ahead in
         # the worker thread (see trainer.py train_epoch)
         hh = lh = None
-        lr_high = opt_lib.cyclic_triangular_lr(scheduler_step)
+        cyc = dict(
+            base_lr=cfg.DAGGER.CYCLIC_BASE_LR, max_lr=cfg.DAGGER.CYCLIC_MAX_LR,
+            step_size_up=cfg.DAGGER.CYCLIC_STEP_SIZE_UP,
+            step_size_down=cfg.DAGGER.CYCLIC_STEP_SIZE_DOWN,
+        )
+        lr_high = opt_lib.cyclic_triangular_lr(scheduler_step, **cyc)
         for is_first, window in window_stream(
             batches,
             lambda w: mesh_lib.shard_batch(self.mesh, w),
@@ -205,7 +214,9 @@ class HierarchicalTrainer(BaseTrainer):
             if is_first:
                 if hh is not None:
                     scheduler_step += 1  # per outer batch (ref :739)
-                    lr_high = opt_lib.cyclic_triangular_lr(scheduler_step)
+                    lr_high = opt_lib.cyclic_triangular_lr(
+                        scheduler_step, **cyc
+                    )
                 B = self.global_batch
                 hh = jax.device_put(
                     self.high.initial_hidden(B),

@@ -79,6 +79,10 @@ def main():
     cfg.EVAL.USE_CKPT_CONFIG = False
     if os.environ.get("E2E_FEATURE_MODE"):
         cfg.DAGGER.PRELOAD_TRUNK_FEATURES = True
+        # production invariant: both modules' frozen trunks come from the
+        # same weight files.  The smoke runs without those files (random
+        # init), so sync them at setup (models.sync_frozen_trunks).
+        cfg.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = True
     cfg.freeze()
 
     t0 = time.time()
@@ -91,34 +95,6 @@ def main():
     from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
 
     trainer = HierarchicalTrainer(cfg)
-    if os.environ.get("E2E_FEATURE_MODE"):
-        # production invariant: both modules' frozen trunks come from the
-        # same weight files.  The smoke runs without those files (random
-        # init), so sync them with the shared copy-not-alias helper
-        # (__graft_entry__._sync_frozen_trunks — donated steps must never
-        # see one buffer twice, docs/TPU_ENV_NOTES.md).  train() re-runs
-        # _setup_policy, so hook the sync in after it.
-        import __graft_entry__ as g
-
-        def _sync_trunks():
-            hvars = {"params": trainer.state.high.params,
-                     **trainer._high_extra}
-            lvars = {"params": trainer.state.low.params, **trainer._low_extra}
-            lvars = g._sync_frozen_trunks(hvars, lvars)
-            trainer.state = trainer.state._replace(
-                low=trainer.state.low._replace(params=lvars["params"])
-            )
-            # mutate the captured dict IN PLACE: _setup_policy already bound
-            # self._low_extra into the train/val step closures
-            trainer._low_extra["batch_stats"] = lvars["batch_stats"]
-
-        orig_setup = trainer._setup_policy
-
-        def patched(*a, **k):
-            orig_setup(*a, **k)
-            _sync_trunks()
-
-        trainer._setup_policy = patched
     trainer.train()
     print(f"[train] 1 epoch in {time.time() - t0:.1f}s", flush=True)
 

@@ -127,6 +127,29 @@ def test_collate_and_tbptt(tmp_path, rng):
         assert all(w["instruction"].shape == (2, 20) for w in wins)
 
 
+def test_collate_mixed_instruction_lengths(tmp_path, rng):
+    """Episodes whose instructions differ in token count must batch together
+    (real robo_vln instructions are variable-length).  Regression: with
+    is_bert=True the per-step variable-length `glove_tokens` rows used to
+    leak into the static-shape sensor collate and crash."""
+    path = str(tmp_path / "traj")
+    with TrajectoryStore(path, writable=True) as store:
+        for k, (t, il) in enumerate([(10, 14), (12, 23), (9, 5), (11, 17)]):
+            write_episode(store, k, *_make_episode(rng, t, instr_len=il))
+        store.flush()
+
+    for is_bert in (True, False):
+        ds = TrajectoryDataset(path, batch_size=2, is_bert=is_bert)
+        batches = list(batch_iterator(ds, 2, [16], max_instruction_len=30))
+        assert len(batches) == 2
+        for b in batches:
+            assert "glove_tokens" not in b
+            assert b["instruction"].shape == (2, 30)
+            # each row carries its episode's ids then zero padding
+            lens = (b["instruction"] != 0).sum(axis=1)
+            assert set(lens.tolist()) <= {5, 14, 17, 23}
+
+
 def test_collate_transfer_dtypes(tmp_path, rng):
     """Host->device transfer dtypes (SENSOR_DTYPES): rgb rides as uint8 and
     depth as f16 through collate (the reference materializes everything as

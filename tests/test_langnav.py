@@ -1,0 +1,156 @@
+"""LangNav synthetic instruction-grounding dataset (data/langnav.py)."""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from robo_vln_tpu.data import langnav
+
+
+def test_generated_splits_load_and_are_disjoint(tmp_path):
+    paths = langnav.generate_splits(
+        str(tmp_path), n_train=10, n_val_unseen=5, n_val_seen=3, seed=7
+    )
+    from robo_vln_tpu.data.dataset import VLNCEDatasetV1
+
+    ds = {s: VLNCEDatasetV1(data_path=p) for s, p in paths.items()}
+    assert len(ds["train"]) == 10
+    assert len(ds["val_seen"]) == 3
+    assert len(ds["val_unseen"]) == 5
+
+    train_instr = {e.instruction.instruction_text for e in ds["train"].episodes}
+    seen_instr = {e.instruction.instruction_text for e in ds["val_seen"].episodes}
+    unseen_instr = {
+        e.instruction.instruction_text for e in ds["val_unseen"].episodes
+    }
+    # val_seen episodes come FROM the training set; val_unseen programs never
+    # appear in training (generalization requires grounding the language)
+    assert seen_instr <= train_instr
+    assert not (unseen_instr & train_instr)
+
+    for e in ds["train"].episodes:
+        toks = e.instruction.instruction_tokens
+        assert toks and all(t >= 100 for t in toks)
+        assert toks == langnav.word_ids(e.instruction.instruction_text)
+        assert e.info["geodesic_distance"] > 0
+
+
+def test_tokens_deterministic_across_processes():
+    # WORD_TO_ID must not depend on set/hash iteration order
+    text = "walk forward two meters then turn left and walk forward three meters then stop"
+    ids = langnav.word_ids(text)
+    assert ids == langnav.word_ids(text)
+    assert langnav.VOCAB == sorted(langnav.VOCAB)
+
+
+def test_path_matches_instruction_semantics():
+    # "turn left" must increase heading (positive y rotation, matching the
+    # kinematic sim convention in envs/velocity_control.py:168-171)
+    program = ((0, 2), (2, 3))  # forward 2 m, then turn left and 3 m
+    path = np.asarray(langnav.program_to_path(program))
+    assert np.allclose(path[1], [0, 0, -2])  # heading 0 -> -z
+    assert np.allclose(path[2], [-3, 0, -2])  # left 90deg -> -x
+    text = langnav.program_to_instruction(program)
+    assert "turn left" in text and "two meters" in text and text.endswith("stop")
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_expert_reaches_goal_closed_loop(tmp_path, seed):
+    """The waypoint-tracking expert must succeed on every generated episode —
+    otherwise collection would produce unreachable supervision."""
+    paths = langnav.generate_splits(
+        str(tmp_path), n_train=3, n_val_unseen=1, seed=seed
+    )
+    from robo_vln_tpu.config.default import get_config
+
+    cfg = get_config().clone().defrost()
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = paths["train"]
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 600
+    cfg.TASK_CONFIG.TASK.SUCCESS_DISTANCE = 1.0
+    cfg.TASK_CONFIG.TASK.SUCCESS.SUCCESS_DISTANCE = 1.0
+    cfg.freeze()
+
+    from robo_vln_tpu.envs.env import KinematicEnv
+    from robo_vln_tpu.envs.expert import ContinuousPathFollower
+    from robo_vln_tpu.envs.velocity_control import (
+        VelocityControl, track_waypoint_native,
+    )
+
+    env = KinematicEnv(cfg, synth_observations=False)
+    for _ in range(3):
+        env.reset()
+        ep = env.current_episode
+        follower = ContinuousPathFollower(
+            env, list(ep.reference_path) + [ep.goals[0].position], 0.4
+        )
+        vc = VelocityControl()
+        prev, steps, done = 0.0, 0, (False, False)
+        while follower.progress < 1.0 and steps < 600 and not done[0]:
+            follower.update_waypoint()
+            v, w = track_waypoint_native(
+                env.get_agent_state(), follower.waypoint, prev,
+                follower.progress, 1 / 30,
+            )
+            vc.linear_velocity = np.array([0.0, 0.0, v])
+            vc.angular_velocity = np.array([0.0, w, 0.0])
+            _, _, done, _ = env.step(vc)
+            prev = v
+            steps += 1
+            if done[1] and abs(v) < 0.005:
+                break
+        metrics = env.get_metrics()
+        assert metrics["success"] == 1.0, ep.instruction.instruction_text
+        assert metrics["spl"] > 0.9
+
+
+def test_sync_frozen_trunks_copies_not_aliases():
+    from robo_vln_tpu.models import sync_frozen_trunks
+
+    h = {
+        "params": {
+            "rgb_encoder": {"cnn": {"w": np.ones((2, 2))}},
+            "depth_encoder": {"visual_encoder": {"w": np.full((3,), 2.0)}},
+            "head": {"w": np.zeros(2)},
+        },
+        "batch_stats": {"rgb_encoder": {"cnn": {"mean": np.ones(4)}}},
+    }
+    l = {
+        "params": {
+            "rgb_encoder": {"cnn": {"w": np.zeros((2, 2))}},
+            "depth_encoder": {"visual_encoder": {"w": np.zeros((3,))}},
+            "head": {"w": np.full(2, 9.0)},
+        },
+        "batch_stats": {"rgb_encoder": {"cnn": {"mean": np.zeros(4)}}},
+    }
+    out = sync_frozen_trunks(h, l)
+    np.testing.assert_array_equal(
+        out["params"]["rgb_encoder"]["cnn"]["w"], np.ones((2, 2))
+    )
+    np.testing.assert_array_equal(
+        out["params"]["depth_encoder"]["visual_encoder"]["w"], np.full(3, 2.0)
+    )
+    np.testing.assert_array_equal(
+        out["batch_stats"]["rgb_encoder"]["cnn"]["mean"], np.ones(4)
+    )
+    # non-trunk leaves untouched; trunk arrays are copies, not aliases
+    np.testing.assert_array_equal(out["params"]["head"]["w"], np.full(2, 9.0))
+    assert out["params"]["rgb_encoder"]["cnn"]["w"] is not (
+        h["params"]["rgb_encoder"]["cnn"]["w"]
+    )
+    # the input low tree was not mutated
+    np.testing.assert_array_equal(
+        l["params"]["rgb_encoder"]["cnn"]["w"], np.zeros((2, 2))
+    )
+
+
+def test_cyclic_lr_custom_schedule():
+    from robo_vln_tpu.training.optimizers import cyclic_triangular_lr
+
+    assert cyclic_triangular_lr(0, 1e-5, 1e-4, 4, 16) == pytest.approx(1e-5)
+    assert cyclic_triangular_lr(4, 1e-5, 1e-4, 4, 16) == pytest.approx(1e-4)
+    assert cyclic_triangular_lr(12, 1e-5, 1e-4, 4, 16) == pytest.approx(
+        1e-5 + (1e-4 - 1e-5) * 0.5
+    )
