@@ -131,7 +131,10 @@ def main():
 
     ckpts = ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
     picked = ckpts[EVAL_EVERY - 1::EVAL_EVERY]
-    if ckpts and (not picked or picked[-1] != ckpts[-1]):
+    # anchor the curve: earliest and final checkpoints always evaluated
+    if ckpts and (not picked or picked[0] != ckpts[0]):
+        picked.insert(0, ckpts[0])
+    if ckpts and picked[-1] != ckpts[-1]:
         picked.append(ckpts[-1])
     rows = []
     results_path = os.path.join(OUT, "convergence.jsonl")

@@ -146,6 +146,45 @@ def test_sync_frozen_trunks_copies_not_aliases():
     )
 
 
+def test_convergence_study_helpers(tmp_path, monkeypatch):
+    """Pure-python helpers of scripts/convergence_study.py: epoch indexing
+    from ckpt names and the markdown rendering."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "convergence_study",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "convergence_study.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class _D:
+        EPOCHS = 10
+
+    class _Cfg:
+        DAGGER = _D()
+
+    assert mod.idx_of("/x/ckpt.10", _Cfg()) == 0
+    assert mod.idx_of("/x/ckpt.19", _Cfg()) == 9
+    assert mod.idx_of("/x/ckpt.weird", _Cfg()) == -1
+
+    rows = [
+        {"split": "val_seen", "epoch": 4, "success": 0.5, "spl": 0.4,
+         "ndtw": 0.6, "navigation_error": 2.0, "path_length": 8.0},
+        {"split": "val_seen", "epoch": 0, "success": 0.0, "spl": 0.0,
+         "ndtw": 0.1, "navigation_error": 9.0, "path_length": 16.0},
+    ]
+    table = mod.render_table(rows)
+    lines = table.strip().splitlines()
+    assert lines[0].startswith("| split | epoch |")
+    # sorted by epoch within split
+    assert lines[2].split("|")[2].strip() == "0"
+    assert lines[3].split("|")[2].strip() == "4"
+
+
 def test_cyclic_lr_custom_schedule():
     from robo_vln_tpu.training.optimizers import cyclic_triangular_lr
 
