@@ -36,7 +36,7 @@ TURNS: List[Tuple[str, float]] = [
     ("turn slightly right", -np.pi / 4),
     ("turn right", -np.pi / 2),
 ]
-LENGTH_WORDS = {2: "two", 3: "three", 4: "four"}
+LENGTH_WORDS = {1: "one", 2: "two", 3: "three", 4: "four", 5: "five"}
 
 # deterministic word->id map; ids start at 100 so they never collide with
 # special ids (0 = pad everywhere in the data plane)

@@ -45,7 +45,16 @@ ON_DEVICE = bool(int(os.environ.get("CS_ON_DEVICE", "1")))
 FEATURE_MODE = bool(int(os.environ.get("CS_FEATURE_MODE", "1")))
 NUM_ENVS = int(os.environ.get("CS_NUM_ENVS", 4))
 SEED = int(os.environ.get("CS_SEED", 0))
-MAX_STEPS = 500
+MAX_STEPS = int(os.environ.get("CS_MAX_STEPS", 500))
+# program shape: turn-dense defaults (short segments, 2-4 of them) keep the
+# sub-goal classes balanced enough that the high level's conditional signal
+# is not swamped by the MOVE_FORWARD marginal
+SEGMENTS = tuple(
+    int(x) for x in os.environ.get("CS_SEGMENTS", "2,3,4").split(",")
+)
+LENGTHS = tuple(
+    int(x) for x in os.environ.get("CS_LENGTHS", "2,3").split(",")
+)
 
 
 def build_config(data_dir: str):
@@ -105,7 +114,7 @@ def main():
     data_dir = os.path.join(OUT, "datasets")
     langnav.generate_splits(
         data_dir, n_train=N_TRAIN, n_val_unseen=N_VAL, n_val_seen=N_VAL,
-        seed=SEED,
+        seed=SEED, n_segments=SEGMENTS, lengths=LENGTHS,
     )
     print(f"[data] {N_TRAIN} train / {N_VAL} val_seen / {N_VAL} val_unseen "
           f"LangNav episodes -> {data_dir}", flush=True)
