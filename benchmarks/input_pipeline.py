@@ -83,7 +83,12 @@ def build_buffer(path, n_eps, t, legacy_f64=False, seed=0, features=False):
     rng = np.random.default_rng(seed)
     with TrajectoryStore(path, writable=True) as store:
         for k in range(n_eps):
-            write_episode(store, k, *_episode(rng, t, legacy_f64, features))
+            # feature stores are written in the flat wire format in
+            # production (training/featurize.py) — decode is zero-copy
+            write_episode(
+                store, k, *_episode(rng, t, legacy_f64, features),
+                flat=features,
+            )
         store.flush()
 
 

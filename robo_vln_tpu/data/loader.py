@@ -62,8 +62,21 @@ def pack_episode(obs: Dict[str, np.ndarray], prev_actions: np.ndarray,
                  stop_step: Sequence[int]) -> bytes:
     """Serialize one expert episode in the reference's transposed_ep layout
     (robo_vln_trainer.py:479-488) — the unit shipped from collection workers
-    to the buffer writer."""
+    to the buffer writer.  msgpack wire format (reference-compatible)."""
     return serialization.packb(
+        [dict(obs), np.asarray(prev_actions, np.float64),
+         np.asarray(corrected_actions, np.float64), list(map(int, stop_step))]
+    )
+
+
+def pack_episode_flat(obs: Dict[str, np.ndarray], prev_actions: np.ndarray,
+                      corrected_actions: np.ndarray,
+                      stop_step: Sequence[int]) -> bytes:
+    """Same episode layout in the zero-copy flat format (serialization
+    pack_flat) — the internal feature-store encoding: decode is header-parse
+    only, arrays come back as views (the 1-core host's decode bandwidth is
+    the limiter at large device batches, docs/ROUND3.md)."""
+    return serialization.pack_flat(
         [dict(obs), np.asarray(prev_actions, np.float64),
          np.asarray(corrected_actions, np.float64), list(map(int, stop_step))]
     )
@@ -71,8 +84,9 @@ def pack_episode(obs: Dict[str, np.ndarray], prev_actions: np.ndarray,
 
 def write_episode(store: TrajectoryStore, key: int, obs: Dict[str, np.ndarray],
                   prev_actions: np.ndarray, corrected_actions: np.ndarray,
-                  stop_step: Sequence[int]) -> None:
-    store.put(key, pack_episode(obs, prev_actions, corrected_actions, stop_step))
+                  stop_step: Sequence[int], flat: bool = False) -> None:
+    pack = pack_episode_flat if flat else pack_episode
+    store.put(key, pack(obs, prev_actions, corrected_actions, stop_step))
 
 
 def pick_bucket(length: int, buckets: Sequence[int]) -> int:
@@ -105,8 +119,14 @@ class TrajectoryDataset:
         with TrajectoryStore(features_dir) as store:
             self.length = len(store)
 
-    def _decode(self, raw: bytes):
-        obs, prev_actions, oracle_actions, stop_step = serialization.unpackb(raw)
+    def _decode(self, raw):
+        """Decode one packed episode (bytes or uint8 buffer, either wire
+        format).  Flat-format arrays come back as zero-copy views into `raw`
+        — they are read-only and copied exactly once, into the collated
+        batch."""
+        obs, prev_actions, oracle_actions, stop_step = (
+            serialization.unpackb_any(raw)
+        )
         prev_actions = np.asarray(prev_actions, np.float32).reshape(-1, 2)
         oracle_actions = np.asarray(oracle_actions, np.float32).reshape(-1, 2)
 
@@ -149,7 +169,7 @@ class TrajectoryDataset:
                 for _ in range(self.preload_size):
                     if not order:
                         break
-                    chunk.append(self._decode(store.get(order.pop())))
+                    chunk.append(self._decode(store.get_buffer(order.pop())))
                     lengths.append(len(chunk[-1][1]))
                 tiebreak = list(range(len(lengths)))
                 self._rng.shuffle(tiebreak)

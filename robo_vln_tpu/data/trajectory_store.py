@@ -16,6 +16,8 @@ import os
 import struct
 from typing import Optional
 
+import numpy as np
+
 _REC = struct.Struct("<QQQ")
 _HDR = struct.Struct("<QQ")
 
@@ -53,15 +55,24 @@ class _NativeStore:
         if rc != 0:
             raise IOError(f"ts_put failed rc={rc}")
 
-    def get(self, key: int) -> bytes:
+    def get_buffer(self, key: int) -> np.ndarray:
+        """Value bytes as a (n,) uint8 array: ONE memcpy from the store's
+        mmap into a fresh numpy buffer (no ctypes zero-fill, no bytes()
+        re-copy) — the decode path builds zero-copy views over it."""
         n = self._lib.ts_get_len(self._h, key)
         if n < 0:
             raise KeyError(key)
-        buf = (ctypes.c_uint8 * n)()
-        rc = self._lib.ts_get(self._h, key, buf, n)
+        buf = np.empty(n, np.uint8)
+        rc = self._lib.ts_get(
+            self._h, key,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        )
         if rc != 0:
             raise IOError(f"ts_get failed rc={rc}")
-        return bytes(buf)
+        return buf
+
+    def get(self, key: int) -> bytes:
+        return self.get_buffer(key).tobytes()
 
     def __len__(self) -> int:
         return int(self._lib.ts_count(self._h))
@@ -103,12 +114,19 @@ class _PythonStore:
         self._size += _HDR.size + len(data)
         self._index[key] = (off, len(data))
 
-    def get(self, key: int) -> bytes:
+    def get_buffer(self, key: int) -> np.ndarray:
         off, n = self._index[key]
         if self._dat_w:
             self._dat_w.flush()
         self._dat_r.seek(off)
-        return self._dat_r.read(n)
+        buf = np.empty(n, np.uint8)
+        read = self._dat_r.readinto(memoryview(buf))
+        if read != n:
+            raise IOError(f"short read: {read}/{n} bytes for key {key}")
+        return buf
+
+    def get(self, key: int) -> bytes:
+        return self.get_buffer(key).tobytes()
 
     def __len__(self) -> int:
         return len(self._index)
@@ -144,6 +162,11 @@ class TrajectoryStore:
 
     def get(self, key: int) -> bytes:
         return self._impl.get(key)
+
+    def get_buffer(self, key: int) -> np.ndarray:
+        """Value bytes as a (n,) uint8 array with a single copy; decode
+        zero-copy via data/serialization.unpackb_any."""
+        return self._impl.get_buffer(key)
 
     def __len__(self) -> int:
         return len(self._impl)

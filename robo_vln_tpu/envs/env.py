@@ -300,7 +300,7 @@ class ReplayEnv(_BaseEnv):
     def reset(self) -> Dict[str, Any]:
         key = self._keys[self._ep_iter % len(self._keys)]
         self._ep_iter += 1
-        raw = self._serialization.unpackb(self._store.get(key))
+        raw = self._serialization.unpackb_any(self._store.get_buffer(key))
         obs, prev_actions, actions, stop_step = raw
         self._episode_obs = {k: np.asarray(v) for k, v in obs.items()}
         t_len = len(np.asarray(prev_actions))

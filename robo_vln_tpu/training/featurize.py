@@ -105,7 +105,9 @@ def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
             TrajectoryStore(out_dir, writable=True) as dst:
         total = len(src)
         for key in range(start_key, total):
-            obs, prev, corr, stop = serialization.unpackb(src.get(key))
+            obs, prev, corr, stop = serialization.unpackb_any(
+                src.get_buffer(key)
+            )
             rgb = np.asarray(obs["rgb"])
             depth = np.asarray(obs["depth"])
             t = rgb.shape[0]
@@ -137,7 +139,9 @@ def featurize_buffer(model_config, compute_dtype, params: Dict, extra: Dict,
                 new_obs["instruction_embedding"] = np.asarray(
                     embed_fn(params, ids)
                 )
-            dst.put(key, serialization.packb([new_obs, prev, corr, stop]))
+            # flat wire format: training decodes these at memory speed
+            # (zero-copy views; data/serialization.py)
+            dst.put(key, serialization.pack_flat([new_obs, prev, corr, stop]))
             n_eps += 1
             if n_eps % 100 == 0:
                 dst.flush()

@@ -14,9 +14,9 @@ HCM training with per-epoch checkpoints -> closed-loop eval of selected
 checkpoints on val_seen + val_unseen -> docs-ready table.
 
 Usage:  python scripts/convergence_study.py [out_dir]
-Knobs (env): CS_TRAIN=64 CS_VAL=12 CS_EPOCHS=24 CS_EVAL_EVERY=4 CS_BATCH=8
-  CS_RGB=224 CS_DEPTH=256 CS_ON_DEVICE=1 CS_FEATURE_MODE=1 CS_NUM_ENVS=4
-  CS_SEED=0
+Knobs (env): CS_MODEL=hcm|cma|seq2seq CS_TRAIN=64 CS_VAL=12 CS_EPOCHS=24
+  CS_EVAL_EVERY=4 CS_BATCH=8 CS_RGB=224 CS_DEPTH=256 CS_ON_DEVICE=1
+  CS_FEATURE_MODE=1 CS_NUM_ENVS=4 CS_SEED=0
 
 Caveats recorded with the results: frozen backbones are random-init here
 (no pretrained files in the image; provenance rides in every stats json),
@@ -33,6 +33,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/robo_vln_convergence"
+
+# model family: config yaml + trainer kind (hier = HCM two-module pipeline,
+# flat = single-policy robo_vln_trainer families)
+MODELS = {
+    "hcm": ("hierarchical_cma.yaml", "hier"),
+    "cma": ("cma_robo.yaml", "flat"),
+    "seq2seq": ("seq2seq_robo.yaml", "flat"),
+}
+MODEL = os.environ.get("CS_MODEL", "hcm")
+if MODEL not in MODELS:
+    raise SystemExit(f"CS_MODEL must be one of {sorted(MODELS)}, got {MODEL!r}")
 
 N_TRAIN = int(os.environ.get("CS_TRAIN", 64))
 N_VAL = int(os.environ.get("CS_VAL", 12))
@@ -61,7 +72,7 @@ def build_config(data_dir: str):
     from robo_vln_tpu.config.default import get_config
 
     cfg = get_config(
-        os.path.join(REPO, "robo_vln_tpu/config/configs/hierarchical_cma.yaml")
+        os.path.join(REPO, "robo_vln_tpu/config/configs", MODELS[MODEL][0])
     ).clone().defrost()
     tc = cfg.TASK_CONFIG
     tc.SIMULATOR.TYPE = "kinematic"
@@ -122,19 +133,38 @@ def main():
     cfg = build_config(data_dir)
 
     t0 = time.time()
+    from robo_vln_tpu.data.trajectory_store import TrajectoryStore
     from robo_vln_tpu.envs.collection import collect_dataset
 
-    n = collect_dataset(cfg, cfg.DAGGER.LMDB_FEATURES_DIR)
-    print(f"[collect] {n} episodes in {time.time() - t0:.1f}s", flush=True)
+    buf_dir = cfg.DAGGER.LMDB_FEATURES_DIR
+    have = 0
+    if os.path.isdir(buf_dir):
+        with TrajectoryStore(buf_dir) as s:
+            have = len(s)
+    if have >= N_TRAIN:  # restartability: collection appends, never redo it
+        print(f"[collect] reusing existing buffer ({have} episodes)",
+              flush=True)
+    else:
+        n = collect_dataset(cfg, buf_dir)
+        print(f"[collect] {n} episodes in {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
-    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+    if MODELS[MODEL][1] == "hier":
+        from robo_vln_tpu.eval.evaluator import (
+            eval_hierarchical_checkpoint as eval_fn,
+        )
+        from robo_vln_tpu.training.hierarchical_trainer import (
+            HierarchicalTrainer as trainer_cls,
+        )
+    else:
+        from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint as eval_fn
+        from robo_vln_tpu.training.trainer import RoboVLNTrainer as trainer_cls
 
-    trainer = HierarchicalTrainer(cfg)
+    trainer = trainer_cls(cfg)
     trainer.train()
-    print(f"[train] {EPOCHS} epochs in {time.time() - t0:.1f}s", flush=True)
+    print(f"[train] {MODEL}: {EPOCHS} epochs in {time.time() - t0:.1f}s",
+          flush=True)
 
-    from robo_vln_tpu.eval.evaluator import eval_hierarchical_checkpoint
     from robo_vln_tpu.training import checkpoint as ckpt_lib
     from robo_vln_tpu.utils.logging import MetricsWriter
 
@@ -152,12 +182,13 @@ def main():
             ecfg = cfg.clone().defrost()
             ecfg.EVAL.SPLIT = split
             ecfg.freeze()
-            etrainer = HierarchicalTrainer(ecfg)
+            etrainer = trainer_cls(ecfg)
             for idx, ckpt in enumerate(picked):
                 t0 = time.time()
                 with MetricsWriter(os.path.join(OUT, "tb_eval", split)) as w:
-                    stats = eval_hierarchical_checkpoint(etrainer, ckpt, w, idx)
+                    stats = eval_fn(etrainer, ckpt, w, idx)
                 row = {
+                    "model": MODEL,
                     "split": split,
                     "ckpt": os.path.basename(ckpt),
                     "epoch": idx_of(ckpt, cfg),
@@ -188,11 +219,11 @@ def idx_of(ckpt_path: str, cfg) -> int:
 
 def render_table(rows) -> str:
     cols = ["success", "spl", "ndtw", "navigation_error", "path_length"]
-    out = ["| split | epoch | " + " | ".join(cols) + " |",
-           "|---|---|" + "---|" * len(cols)]
+    out = ["| model | split | epoch | " + " | ".join(cols) + " |",
+           "|---|---|---|" + "---|" * len(cols)]
     for r in sorted(rows, key=lambda r: (r["split"], r["epoch"])):
         out.append(
-            f"| {r['split']} | {r['epoch']} | "
+            f"| {r.get('model', MODEL)} | {r['split']} | {r['epoch']} | "
             + " | ".join(str(r.get(c, "—")) for c in cols) + " |"
         )
     return "\n".join(out) + "\n"

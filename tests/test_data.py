@@ -48,6 +48,48 @@ def test_serialization_roundtrip(rng):
     np.testing.assert_array_equal(out[2]["nested"]["c"], obj[2]["nested"]["c"])
 
 
+def test_flat_codec_roundtrip_and_zero_copy(rng):
+    obj = [
+        {"a": rng.random((3, 4)).astype(np.float16),
+         "b": [1, 2, "x"],
+         "nested": {"c": rng.integers(0, 10, (2, 2))}},
+        np.arange(5, dtype=np.int64),
+        rng.random((0, 2)),  # empty array
+        [7, 8],
+    ]
+    buf = serialization.pack_flat(obj)
+    assert serialization.is_flat(buf)
+    assert not serialization.is_flat(serialization.packb([1, 2]))
+    out = serialization.unpack_flat(buf)
+    np.testing.assert_allclose(out[0]["a"], obj[0]["a"])
+    assert out[0]["a"].dtype == np.float16
+    np.testing.assert_array_equal(out[0]["nested"]["c"], obj[0]["nested"]["c"])
+    np.testing.assert_array_equal(out[1], obj[1])
+    assert out[2].shape == (0, 2)
+    assert out[3] == [7, 8]
+    # zero-copy: the decoded arrays are views into the source buffer
+    src = np.frombuffer(buf, np.uint8)
+    view = serialization.unpack_flat(src)[1]
+    assert view.base is not None
+    # unpackb_any dispatches on the magic
+    out2 = serialization.unpackb_any(buf)
+    np.testing.assert_array_equal(out2[1], obj[1])
+    out3 = serialization.unpackb_any(serialization.packb({"k": 1}))
+    assert out3 == {"k": 1}
+
+
+@pytest.mark.parametrize("backend", ["native", "python"])
+def test_store_get_buffer_matches_get(tmp_path, backend, rng):
+    path = str(tmp_path / "traj")
+    payload = rng.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    with TrajectoryStore(path, writable=True, backend=backend) as store:
+        store.put(0, payload)
+        store.flush()
+        buf = store.get_buffer(0)
+        assert buf.dtype == np.uint8 and buf.tobytes() == payload
+        assert store.get(0) == payload
+
+
 @pytest.mark.parametrize("backend", ["native", "python"])
 def test_store_roundtrip(tmp_path, backend, rng):
     path = str(tmp_path / "traj")
@@ -125,6 +167,32 @@ def test_collate_and_tbptt(tmp_path, rng):
         wins = list(split_tbptt(b, 8))
         assert sum(w["prev_actions"].shape[1] for w in wins) == T
         assert all(w["instruction"].shape == (2, 20) for w in wins)
+
+
+def test_flat_buffer_batches_match_msgpack(tmp_path, rng):
+    """A buffer written in the flat wire format (the feature store's
+    encoding, training/featurize.py) must produce bit-identical collated
+    batches to the same episodes written as msgpack."""
+    episodes = [_make_episode(rng, t) for t in [10, 14, 7, 12]]
+    paths = {}
+    for fmt, flat in (("msg", False), ("flat", True)):
+        paths[fmt] = str(tmp_path / fmt)
+        with TrajectoryStore(paths[fmt], writable=True) as store:
+            for k, ep in enumerate(episodes):
+                write_episode(store, k, *ep, flat=flat)
+            store.flush()
+
+    for is_bert in (True, False):
+        batches = {}
+        for fmt in paths:
+            ds = TrajectoryDataset(paths[fmt], batch_size=2, is_bert=is_bert, seed=3)
+            batches[fmt] = list(batch_iterator(ds, 2, [16], max_instruction_len=20))
+        assert len(batches["msg"]) == len(batches["flat"]) == 2
+        for bm, bf in zip(batches["msg"], batches["flat"]):
+            assert set(bm) == set(bf)
+            for k in bm:
+                assert bm[k].dtype == bf[k].dtype, k
+                np.testing.assert_array_equal(bm[k], bf[k], err_msg=k)
 
 
 def test_collate_mixed_instruction_lengths(tmp_path, rng):

@@ -225,7 +225,10 @@ def test_feature_cache_stale_on_instruction_len_change(tmp_path, rng):
     from robo_vln_tpu.data.trajectory_store import TrajectoryStore
 
     with TrajectoryStore(d2) as store:
-        obs, *_ = serialization.unpackb(store.get(0))
+        raw = store.get_buffer(0)
+        # the feature store is written in the flat wire format
+        assert serialization.is_flat(raw)
+        obs, *_ = serialization.unpackb_any(raw)
     assert obs["instruction_embedding"].shape[0] == \
         cfg2.DAGGER.MAX_INSTRUCTION_LEN
 

@@ -179,10 +179,12 @@ def test_convergence_study_helpers(tmp_path, monkeypatch):
     ]
     table = mod.render_table(rows)
     lines = table.strip().splitlines()
-    assert lines[0].startswith("| split | epoch |")
+    assert lines[0].startswith("| model | split | epoch |")
+    # rows without a model tag fall back to the active CS_MODEL
+    assert lines[2].split("|")[1].strip() == mod.MODEL
     # sorted by epoch within split
-    assert lines[2].split("|")[2].strip() == "0"
-    assert lines[3].split("|")[2].strip() == "4"
+    assert lines[2].split("|")[3].strip() == "0"
+    assert lines[3].split("|")[3].strip() == "4"
 
 
 def test_cyclic_lr_custom_schedule():
