@@ -61,6 +61,41 @@ from robo_vln_tpu.training import checkpoint as ckpt_lib
 from robo_vln_tpu.utils.logging import logger
 
 
+def _tree_fingerprint(tree) -> int:
+    """Content hash of a small pytree (the non-param collections — BN stats —
+    that eval programs close over as constants).  Program reuse across
+    checkpoint loads must be invalidated when those values change, and
+    ``_load_eval_weights`` replaces the dict objects on every orbax sidecar
+    restore, so identity is useless as a key.  The trees are ~hundreds of KB
+    (BN running stats), so hashing per eval costs milliseconds."""
+    import zlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    h = zlib.crc32(repr(treedef).encode())
+    for leaf in leaves:
+        arr = np.asarray(jax.device_get(leaf))
+        h = zlib.crc32(arr.tobytes(),
+                       zlib.crc32(f"{arr.shape}{arr.dtype}".encode(), h))
+    return h
+
+
+def _cached_program(trainer, key, builder):
+    """Per-trainer cache of compiled eval programs, keyed by everything that
+    is baked into the traced computation (extras fingerprints, trunk-sharing
+    status, config statics).  Checkpoint weights are jit ARGUMENTS, so one
+    compiled program serves every checkpoint in an eval sweep — without this,
+    evaluating N checkpoints costs N model-sized XLA compiles (each ~minutes
+    through the remote-compile tunnel, docs/TPU_ENV_NOTES.md)."""
+    cache = getattr(trainer, "_eval_programs", None)
+    if cache is None:
+        cache = {}
+        trainer._eval_programs = cache
+    prog = cache.get(key)
+    if prog is None:
+        prog = cache[key] = builder()
+    return prog
+
+
 def _load_gt(config):
     split = config.TASK_CONFIG.DATASET.SPLIT
     path = config.TASK_CONFIG.TASK.NDTW.GT_PATH.format(split=split)
@@ -547,15 +582,25 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
     else:
         env = construct_env(config)
     policy = trainer.policy
-    bound = trainer._bound_policy()
     params = trainer.state.params
 
-    @jax.jit
-    def step_fn(params, obs, hidden, prev, mask):
-        actions, stop, hidden, _ = bound.apply(
-            {"params": params}, obs, hidden, prev, mask
-        )
-        return actions, stop, hidden
+    def _build_step():
+        bound = trainer._bound_policy()
+
+        @jax.jit
+        def step_fn(params, obs, hidden, prev, mask):
+            actions, stop, hidden, _ = bound.apply(
+                {"params": params}, obs, hidden, prev, mask
+            )
+            return actions, stop, hidden
+
+        return step_fn
+
+    step_fn = _cached_program(
+        trainer,
+        ("flat_step", _tree_fingerprint(trainer.extra_variables)),
+        _build_step,
+    )
 
     def policy_step(obs, hidden, prev, mask):
         actions, stop, hidden = step_fn(params, obs, hidden, prev, mask)
@@ -630,13 +675,24 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
     # BOTH modules) — safe-guarded by the weight-identity check
     trunk_fn = trainer._maybe_trunk_fn()
 
+    program_key = (
+        "hier_step",
+        _tree_fingerprint(trainer._high_extra),
+        _tree_fingerprint(trainer._low_extra),
+        trunk_fn is not None,
+        plot_attention,
+    )
+
     # frozen BERT is episode-constant: embed once per episode (per env-batch
     # composition) instead of every 30 Hz tick
-    embed_fn = jax.jit(
-        lambda hp, ids: high_b.apply(
-            {"params": hp}, ids, method="embed_instruction"
+    def _build_embed():
+        return jax.jit(
+            lambda hp, ids: high_b.apply(
+                {"params": hp}, ids, method="embed_instruction"
+            )
         )
-    )
+
+    embed_fn = _cached_program(trainer, program_key + ("embed",), _build_embed)
     emb_cache = {"ids": None, "emb": None}
 
     def cached_instruction_embedding(obs):
@@ -648,28 +704,33 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
             )
         return emb_cache["emb"]
 
-    @jax.jit
-    def step_fn(hp, lp, obs, hh, lh, prev, mask):
-        if trunk_fn is not None:
-            obs = {**obs, **trunk_fn(hp, obs)}
-        if plot_attention:
-            (logits, hh), inter = high_b.apply(
-                {"params": hp}, obs, hh, prev, mask,
-                mutable=["intermediates"],
+    def _build_step():
+        @jax.jit
+        def step_fn(hp, lp, obs, hh, lh, prev, mask):
+            if trunk_fn is not None:
+                obs = {**obs, **trunk_fn(hp, obs)}
+            if plot_attention:
+                (logits, hh), inter = high_b.apply(
+                    {"params": hp}, obs, hh, prev, mask,
+                    mutable=["intermediates"],
+                )
+                weights = jax.tree.leaves(inter["intermediates"])
+                # mean over (heads, visual tokens) of every sown map -> (N, L)
+                salience = sum(
+                    jnp.mean(w, axis=(1, 3)) for w in weights
+                ) / len(weights)
+            else:
+                logits, hh = high_b.apply({"params": hp}, obs, hh, prev, mask)
+                salience = jnp.zeros((1, 1))
+            pred = jnp.argmax(logits, axis=-1)
+            actions, stop, lh = low_b.apply(
+                {"params": lp}, obs, lh, prev, mask, pred
             )
-            weights = jax.tree.leaves(inter["intermediates"])
-            # mean over (heads, visual tokens) of every sown map -> (N, L)
-            salience = sum(jnp.mean(w, axis=(1, 3)) for w in weights) / len(
-                weights
-            )
-        else:
-            logits, hh = high_b.apply({"params": hp}, obs, hh, prev, mask)
-            salience = jnp.zeros((1, 1))
-        pred = jnp.argmax(logits, axis=-1)
-        actions, stop, lh = low_b.apply(
-            {"params": lp}, obs, lh, prev, mask, pred
-        )
-        return actions, stop, hh, lh, salience
+            return actions, stop, hh, lh, salience
+
+        return step_fn
+
+    step_fn = _cached_program(trainer, program_key, _build_step)
 
     def policy_step(obs, state, prev, mask):
         hh, lh = state
@@ -715,7 +776,8 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
 
 def _eval_on_device(trainer, config, writer, checkpoint_index: int, extra,
                     policy_step, params, init_hidden,
-                    instruction_extra_fn) -> Dict[str, float]:
+                    instruction_extra_fn,
+                    program_key=None) -> Dict[str, float]:
     """EVAL.ON_DEVICE: one jitted whole-rollout program per episode batch
     (eval/ondevice.py) — no per-tick host round trips.  Same stats-json
     contract as the host drivers."""
@@ -732,7 +794,26 @@ def _eval_on_device(trainer, config, writer, checkpoint_index: int, extra,
     L = config.DAGGER.MAX_INSTRUCTION_LEN
     max_steps = config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS
 
-    rollout = ondevice.make_rollout_fn(policy_step, config, max_steps)
+    def _build_rollout():
+        return ondevice.make_rollout_fn(policy_step, config, max_steps)
+
+    if program_key is not None:
+        # everything traced into the rollout beyond the inputs: sensor shapes,
+        # thresholds, dt, step cap — plus the caller's extras/trunk statics
+        tc = config.TASK_CONFIG
+        rollout = _cached_program(
+            trainer,
+            ("ondevice_rollout",) + tuple(program_key) + (
+                max_steps, tc.SIMULATOR.RGB_SENSOR.HEIGHT,
+                tc.SIMULATOR.RGB_SENSOR.WIDTH,
+                tc.SIMULATOR.DEPTH_SENSOR.HEIGHT,
+                tc.SIMULATOR.DEPTH_SENSOR.WIDTH,
+                tc.TASK.SUCCESS_DISTANCE, config.DAGGER.time_step,
+            ),
+            _build_rollout,
+        )
+    else:
+        rollout = _build_rollout()
     bs = int(config.EVAL.get("ON_DEVICE_BATCH", 8))
     k_points = max(len(ep.reference_path) + 1 for ep in episodes)
 
@@ -781,6 +862,12 @@ def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
     high_b = _bind(trainer.high, trainer._high_extra)
     low_b = _bind(trainer.low, trainer._low_extra)
     trunk_fn = trainer._maybe_trunk_fn()
+    program_key = (
+        "hier",
+        _tree_fingerprint(trainer._high_extra),
+        _tree_fingerprint(trainer._low_extra),
+        trunk_fn is not None,
+    )
 
     def policy_step(params, obs, hidden, prev, mask):
         hp, lp = params
@@ -793,13 +880,20 @@ def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
         )
         return actions, stop, (hh, lh)
 
-    def instruction_extra(ids):
-        # frozen BERT runs ONCE per batch, outside the rollout loop
-        return {
-            "instruction_embedding": trainer.high.apply(
-                {"params": trainer.state.high.params, **trainer._high_extra},
-                ids, method="embed_instruction",
+    def _build_embed():
+        return jax.jit(
+            lambda hp, ids: high_b.apply(
+                {"params": hp}, ids, method="embed_instruction"
             )
+        )
+
+    # frozen BERT runs ONCE per batch, outside the rollout loop; jitted —
+    # an eager flax apply dispatches per-op through the tunnel
+    embed_fn = _cached_program(trainer, program_key + ("embed",), _build_embed)
+
+    def instruction_extra(ids):
+        return {
+            "instruction_embedding": embed_fn(trainer.state.high.params, ids)
         }
 
     return _eval_on_device(
@@ -808,6 +902,7 @@ def _eval_hier_on_device(trainer, config, writer, checkpoint_index: int,
         lambda b: (trainer.high.initial_hidden(b),
                    trainer.low.initial_hidden(b)),
         instruction_extra,
+        program_key=program_key,
     )
 
 
@@ -824,6 +919,7 @@ def _eval_flat_on_device(trainer, config, writer, checkpoint_index: int,
     return _eval_on_device(
         trainer, config, writer, checkpoint_index, extra, policy_step,
         trainer.state.params, trainer.policy.initial_hidden, lambda ids: {},
+        program_key=("flat", _tree_fingerprint(trainer.extra_variables)),
     )
 
 

@@ -245,3 +245,104 @@ def test_eval_episode_count_exceeding_dataset_terminates(tmp_path, rng):
     with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
         stats = eval_flat_checkpoint(trainer, "", writer, 0)
     assert "ndtw" in stats  # terminated with 2 unique episodes
+
+
+def test_eval_program_cache_reuses_compiles(tmp_path, rng):
+    """Evaluating N checkpoints must NOT build N jitted policy programs:
+    weights are jit arguments, so one compiled program serves the sweep
+    (through the tunneled remote-compile service each extra model-sized
+    compile costs minutes, docs/TPU_ENV_NOTES.md)."""
+    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = make_episode_json(tmp_path, n_eps=3)
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 8
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 1
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    trainer = RoboVLNTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        eval_flat_checkpoint(trainer, "", writer, 0)
+        programs_after_first = dict(trainer._eval_programs)
+        assert len(programs_after_first) == 1
+        step_fn = next(iter(programs_after_first.values()))
+        eval_flat_checkpoint(trainer, "", writer, 1)
+    # same cache entry, same jitted object, exactly one trace signature
+    assert trainer._eval_programs == programs_after_first
+    assert step_fn._cache_size() == 1
+
+    # changing the captured non-param collections (BN stats restored from a
+    # checkpoint sidecar) must invalidate the cached program (SimpleCNN
+    # policies have empty extras, so plant one — flax ignores collections the
+    # model doesn't use)
+    trainer.extra_variables = {
+        **trainer.extra_variables,
+        "batch_stats": {"planted": np.ones(3, np.float32)},
+    }
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        eval_flat_checkpoint(trainer, "", writer, 2)
+    assert len(trainer._eval_programs) == 2
+
+
+def test_ondevice_eval_program_cache(tmp_path, rng):
+    """EVAL.ON_DEVICE checkpoint sweeps reuse ONE whole-rollout program per
+    (extras, trunk status, config statics) — and repeated evals of the same
+    weights produce identical stats."""
+    cfg = tiny_config(
+        tmp_path, trainer="hierarchical_trainer", batch_size=1, hw=32
+    )
+    cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = make_episode_json(tmp_path, n_eps=2)
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 10
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 2
+    cfg.EVAL.ON_DEVICE = True
+    cfg.EVAL.ON_DEVICE_BATCH = 2
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.eval.evaluator import eval_hierarchical_checkpoint
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    trainer = HierarchicalTrainer(cfg)
+    with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+        stats1 = eval_hierarchical_checkpoint(trainer, "", writer, 0)
+        programs = dict(trainer._eval_programs)
+        stats2 = eval_hierarchical_checkpoint(trainer, "", writer, 1)
+    assert trainer._eval_programs == programs  # embed + rollout, built once
+    rollout = trainer._eval_programs[
+        next(k for k in programs if k[0] == "ondevice_rollout")
+    ]
+    assert rollout._cache_size() == 1
+    for k in ("success", "spl", "ndtw"):
+        assert stats1[k] == pytest.approx(stats2[k])
+
+
+def test_tree_fingerprint_content_keyed():
+    """Fingerprint must key on VALUES (checkpoint loads replace the dict
+    objects), and distinguish value / dtype / structure changes."""
+    import jax.numpy as jnp
+
+    from robo_vln_tpu.eval.evaluator import _tree_fingerprint
+
+    a = {"bn": {"mean": np.arange(8, dtype=np.float32)}}
+    b = {"bn": {"mean": np.arange(8, dtype=np.float32)}}  # equal, new objects
+    assert _tree_fingerprint(a) == _tree_fingerprint(b)
+    assert _tree_fingerprint(a) == _tree_fingerprint(
+        {"bn": {"mean": jnp.arange(8, dtype=jnp.float32)}}
+    )
+    c = {"bn": {"mean": np.arange(8, dtype=np.float32) + 1}}
+    assert _tree_fingerprint(a) != _tree_fingerprint(c)
+    d = {"bn": {"mean": np.arange(8, dtype=np.float64)}}
+    assert _tree_fingerprint(a) != _tree_fingerprint(d)
+    e = {"bn2": {"mean": np.arange(8, dtype=np.float32)}}
+    assert _tree_fingerprint(a) != _tree_fingerprint(e)
