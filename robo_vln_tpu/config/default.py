@@ -121,6 +121,19 @@ _C.DAGGER.LMDB_FEATURES_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
 _C.DAGGER.LMDB_EVAL_DIR = "data/trajectories_dirs/debug/trajectories.lmdb"
 _C.DAGGER.LOAD_FROM_CKPT = False
 _C.DAGGER.CKPT_TO_LOAD = "data/checkpoints/ckpt.0"
+# Resume the epoch loop from the newest ckpt.{EPOCHS+k} in CHECKPOINT_FOLDER
+# (full train state + optimizer + LR-scheduler position + TB step counters;
+# data order and dropout streams are epoch/step-keyed, so a resumed run
+# reproduces an uninterrupted one exactly).  The reference can only restart
+# from scratch (it saves per epoch, robo_vln_trainer.py:720-722, but never
+# restores mid-run).  Intended for the offline PRELOAD pipeline
+# (ITERATIONS=1, all paper configs).
+_C.DAGGER.RESUME = False
+# Stop after N epochs in this process (0 = run to DAGGER.EPOCHS).  With
+# RESUME=True this bounds per-process lifetime for preemptible or
+# resource-leaky hosts (docs/TPU_ENV_NOTES.md: the tunneled TPU client pins
+# every host->device transfer buffer until process exit).
+_C.DAGGER.MAX_EPOCHS_PER_RUN = 0
 # Feature-store training (training/featurize.py): run the frozen conv trunks
 # over the buffer ONCE (cached in <buffer>.features, fingerprint-keyed), then
 # train from features — the step shrinks to the trainable stack.  Requires

@@ -75,6 +75,18 @@ def load_extra_variables(ckpt_dir: str) -> Optional[Dict]:
     return out
 
 
+def load_metadata(ckpt_dir: str) -> Optional[Dict]:
+    """Framework metadata saved next to an orbax train state (config snapshot
+    + loop counters for DAGGER.RESUME)."""
+    p = os.path.join(str(ckpt_dir), "framework_metadata.json")
+    if not os.path.exists(p):
+        return None
+    import json
+
+    with open(p) as f:
+        return json.load(f)
+
+
 def list_checkpoints(folder: str):
     """ckpt.{i} directories sorted by index (reference polls the folder for
     new ckpt.{i}.pth files, README.md:209)."""

@@ -69,15 +69,23 @@ class HierarchicalTrainer(BaseTrainer):
         obs = {k: batch[k] for k in ("rgb", "depth", "instruction", "progress")}
         rng = jax.random.PRNGKey(cfg.TASK_CONFIG.SEED)
 
-        hvars = jax.jit(self.high.init)(
-            rng, obs, self.high.initial_hidden(B), batch["prev_actions"],
-            batch["not_done_masks"],
-        )
-        lvars = jax.jit(self.low.init)(
-            jax.random.fold_in(rng, 1), obs, self.low.initial_hidden(B),
-            batch["prev_actions"], batch["not_done_masks"],
-            np.zeros((B, 2), np.int32),
-        )
+        # init on the host CPU on accelerator platforms (see trainer.py:
+        # remote-compile budget + recycled-process startup cost)
+        from robo_vln_tpu.training.trainer import _nullcontext
+
+        on_accel = jax.devices()[0].platform != "cpu"
+        init_ctx = (jax.default_device(jax.devices("cpu")[0]) if on_accel
+                    else _nullcontext())
+        with init_ctx:
+            hvars = jax.jit(self.high.init)(
+                rng, obs, self.high.initial_hidden(B), batch["prev_actions"],
+                batch["not_done_masks"],
+            )
+            lvars = jax.jit(self.low.init)(
+                jax.random.fold_in(rng, 1), obs, self.low.initial_hidden(B),
+                batch["prev_actions"], batch["not_done_masks"],
+                np.zeros((B, 2), np.int32),
+            )
         from robo_vln_tpu.utils.pretrained import graft_pretrained
 
         hvars, high_prov = graft_pretrained(hvars, cfg.MODEL)
@@ -105,12 +113,20 @@ class HierarchicalTrainer(BaseTrainer):
         wd = cfg.MODEL.TRANSFORMER.weight_decay
         self.tx_high = opt_lib.masked(opt_lib.adamw(wd), hp)
         self.tx_low = opt_lib.masked(opt_lib.adam(wd), lp)
-        self.state = steps_lib.HierTrainState(
-            steps_lib.TrainState(hp, self.tx_high.init(hp), jnp.asarray(0)),
-            steps_lib.TrainState(lp, self.tx_low.init(lp), jnp.asarray(0)),
-        )
+        with init_ctx:
+            self.state = steps_lib.HierTrainState(
+                steps_lib.TrainState(hp, self.tx_high.init(hp), jnp.asarray(0)),
+                steps_lib.TrainState(lp, self.tx_low.init(lp), jnp.asarray(0)),
+            )
+        if on_accel:
+            self.state = jax.device_get(self.state)
         if load_from_ckpt and ckpt_path:
             self.state = ckpt_lib.load_checkpoint(ckpt_path, self.state)
+            # frozen BN stats ride next to the train state (see trainer.py)
+            extra = ckpt_lib.load_extra_variables(ckpt_path)
+            if extra is not None and "high" in extra:
+                self._high_extra = extra["high"]
+                self._low_extra = extra["low"]
             logger.info(f"Loaded weights from checkpoint: {ckpt_path}")
 
         high_b = _bind(self.high, self._high_extra)
@@ -185,7 +201,13 @@ class HierarchicalTrainer(BaseTrainer):
     def save_checkpoint(self, file_name: str) -> None:
         path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
         ckpt_lib.save_checkpoint(
-            path, self.state, metadata={"config": self.config.to_dict()}
+            path, self.state,
+            metadata={
+                "config": self.config.to_dict(),
+                "scheduler_step": int(getattr(self, "_scheduler_step", 0)),
+                "train_steps": int(getattr(self, "_train_steps", 0)),
+                "val_steps": int(getattr(self, "_val_steps", 0)),
+            },
         )
         ckpt_lib.save_extra_variables(
             path, {"high": self._high_extra, "low": self._low_extra}
@@ -249,6 +271,7 @@ class HierarchicalTrainer(BaseTrainer):
         if hh is not None:
             scheduler_step += 1  # the final batch
         self._scheduler_step = scheduler_step
+        self._train_steps = train_steps
         self.save_checkpoint(f"ckpt.{cfg.DAGGER.EPOCHS + epoch}")
         return train_steps
 
@@ -289,6 +312,7 @@ class HierarchicalTrainer(BaseTrainer):
             writer.add_scalar(
                 "Validation Accuracy", 100.0 * float(np.mean(accs)), epoch
             )
+        self._val_steps = val_steps
         return val_steps
 
     def train(self) -> None:
@@ -303,10 +327,18 @@ class HierarchicalTrainer(BaseTrainer):
             logger.info("Data collection complete")
             return
 
-        self._setup_policy(cfg.DAGGER.LOAD_FROM_CKPT, cfg.DAGGER.CKPT_TO_LOAD)
+        start_epoch, resume_ckpt, resume_meta = (
+            self._find_resume() if cfg.DAGGER.RESUME else (0, "", {})
+        )
+        if resume_ckpt:
+            self._setup_policy(True, resume_ckpt)
+            self._scheduler_step = int(resume_meta.get("scheduler_step", 0))
+            logger.info(f"resuming at epoch {start_epoch} from {resume_ckpt}")
+        else:
+            self._setup_policy(cfg.DAGGER.LOAD_FROM_CKPT, cfg.DAGGER.CKPT_TO_LOAD)
         with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
-            train_steps = 0
-            val_steps = 0
+            train_steps = int(resume_meta.get("train_steps", 0))
+            val_steps = int(resume_meta.get("val_steps", 0))
             for dagger_it in range(cfg.DAGGER.ITERATIONS):
                 if collect:
                     from robo_vln_tpu.envs.collection import collect_dataset
@@ -319,7 +351,9 @@ class HierarchicalTrainer(BaseTrainer):
                 if cfg.DAGGER.PRELOAD_TRUNK_FEATURES:
                     # after collection so a freshly grown buffer refeaturizes
                     train_dir, eval_dir = self._featurized_dirs()
-                for epoch in range(cfg.DAGGER.EPOCHS):
+                epochs = self._epoch_range(start_epoch)
+                start_epoch = 0  # resume applies to the first iteration only
+                for epoch in epochs:
                     t0 = time.time()
                     train_steps = self.train_epoch(
                         self._batches(train_dir, seed=epoch),
@@ -332,6 +366,12 @@ class HierarchicalTrainer(BaseTrainer):
                         )
                     logger.info(
                         f"epoch {epoch} done in {time.time() - t0:.1f}s"
+                    )
+                if epochs.stop < cfg.DAGGER.EPOCHS:
+                    logger.info(
+                        f"stopping after epoch {epochs.stop - 1} "
+                        "(DAGGER.MAX_EPOCHS_PER_RUN); a DAGGER.RESUME run "
+                        f"continues at epoch {epochs.stop}"
                     )
 
     def _eval_checkpoint(self, checkpoint_path, writer, checkpoint_index=0):

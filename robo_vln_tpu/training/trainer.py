@@ -42,6 +42,12 @@ from robo_vln_tpu.utils.logging import MetricsWriter, logger
 from robo_vln_tpu.utils.registry import register_trainer
 
 
+def _nullcontext():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 def _dummy_batch(config, batch_size: int, t: int = 2) -> Dict[str, np.ndarray]:
     """Abstract-init batch with the task's static shapes and the loader's
     transfer dtypes (rgb uint8 / depth f16, data/loader.SENSOR_DTYPES)."""
@@ -70,6 +76,39 @@ def _dummy_batch(config, batch_size: int, t: int = 2) -> Dict[str, np.ndarray]:
 class BaseTrainer:
     """Shared eval dispatch: poll EVAL_CKPT_PATH_DIR like the reference's
     BaseRLTrainer.eval (SURVEY.md §3.3)."""
+
+    def _find_resume(self):
+        """DAGGER.RESUME: locate the newest per-epoch checkpoint in
+        CHECKPOINT_FOLDER and the loop counters it recorded.  Returns
+        (next_epoch, ckpt_path, metadata) — (0, "", {}) when starting fresh.
+        The reference saves per epoch but can only restart from scratch
+        (robo_vln_trainer.py:720-722); here the checkpoint carries the full
+        train state incl. optimizer, and metadata carries scheduler position
+        and TB step counters, so the resumed run continues exactly."""
+        cfg = self.config
+        ckpts = ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
+        if not ckpts:
+            return 0, "", {}
+        latest = ckpts[-1]
+        try:
+            # per-epoch names are ckpt.{EPOCHS+epoch} (reference scheme)
+            epoch_done = int(os.path.basename(latest).split(".")[-1])
+            epoch_done -= cfg.DAGGER.EPOCHS
+        except ValueError:
+            return 0, "", {}
+        if epoch_done < 0:
+            return 0, "", {}
+        meta = ckpt_lib.load_metadata(latest) or {}
+        return epoch_done + 1, latest, meta
+
+    def _epoch_range(self, start_epoch: int):
+        """[start, end) epoch window for this process; MAX_EPOCHS_PER_RUN
+        bounds per-process work (resume picks up at `end`)."""
+        cfg = self.config
+        end = cfg.DAGGER.EPOCHS
+        if cfg.DAGGER.MAX_EPOCHS_PER_RUN > 0:
+            end = min(end, start_epoch + cfg.DAGGER.MAX_EPOCHS_PER_RUN)
+        return range(start_epoch, end)
 
     def eval(self) -> None:
         from robo_vln_tpu.utils.logging import MetricsWriter
@@ -120,9 +159,18 @@ class RoboVLNTrainer(BaseTrainer):
             for k in ("rgb", "depth", "instruction", "progress")
         }
         rng = jax.random.PRNGKey(cfg.TASK_CONFIG.SEED)
-        variables = jax.jit(self.policy.init)(
-            rng, obs, hidden, batch["prev_actions"], batch["not_done_masks"]
-        )
+        # On an accelerator platform, trace/init on the HOST CPU and hand the
+        # step uncommitted (host) state: the remote-compile budget of the
+        # tunneled TPU goes to the train step rather than init, and recycled
+        # processes (DAGGER.MAX_EPOCHS_PER_RUN) skip a model-sized compile
+        # (docs/TPU_ENV_NOTES.md).  The first step transfers params once.
+        on_accel = jax.devices()[0].platform != "cpu"
+        init_ctx = (jax.default_device(jax.devices("cpu")[0]) if on_accel
+                    else _nullcontext())
+        with init_ctx:
+            variables = jax.jit(self.policy.init)(
+                rng, obs, hidden, batch["prev_actions"], batch["not_done_masks"]
+            )
         from robo_vln_tpu.utils.pretrained import graft_pretrained
 
         variables, self.pretrained_backbones = graft_pretrained(
@@ -133,14 +181,23 @@ class RoboVLNTrainer(BaseTrainer):
         logger.info(f"agent number of parameters: {n_params}")
 
         self.tx = opt_lib.masked(opt_lib.adam(), params)
-        opt_state = self.tx.init(params)
+        with init_ctx:
+            opt_state = self.tx.init(params)
         self.state = steps_lib.TrainState(params, opt_state, jnp.asarray(0))
+        if on_accel:
+            self.state = jax.device_get(self.state)
         self.extra_variables = {
             k: v for k, v in variables.items() if k != "params"
         }
 
         if load_from_ckpt and ckpt_path:
             self.state = ckpt_lib.load_checkpoint(ckpt_path, self.state)
+            # non-param collections (frozen BN stats) saved next to the train
+            # state — restoring them matters when the checkpoint's trunks came
+            # from a converted .pth rather than the pretrained weight files
+            extra = ckpt_lib.load_extra_variables(ckpt_path)
+            if extra is not None:
+                self.extra_variables = extra
             logger.info(f"Loaded weights from checkpoint: {ckpt_path}")
 
         use_pm = cfg.MODEL.PROGRESS_MONITOR.use
@@ -168,7 +225,12 @@ class RoboVLNTrainer(BaseTrainer):
     def save_checkpoint(self, file_name: str) -> None:
         path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
         ckpt_lib.save_checkpoint(
-            path, self.state, metadata={"config": self.config.to_dict()}
+            path, self.state,
+            metadata={
+                "config": self.config.to_dict(),
+                "train_steps": int(getattr(self, "_train_steps", 0)),
+                "val_steps": int(getattr(self, "_val_steps", 0)),
+            },
         )
         ckpt_lib.save_extra_variables(path, self.extra_variables)
 
@@ -217,6 +279,7 @@ class RoboVLNTrainer(BaseTrainer):
             writer.add_scalar("Aux Loss", metrics["aux_loss"], train_steps)
             writer.add_scalar("Total Loss", metrics["total_loss"], train_steps)
             train_steps += 1
+        self._train_steps = train_steps
         self.save_checkpoint(f"ckpt.{cfg.DAGGER.EPOCHS + epoch}")
         return train_steps
 
@@ -238,6 +301,7 @@ class RoboVLNTrainer(BaseTrainer):
                 losses.append(float(metrics["total_loss"]))
         if losses:
             writer.add_scalar("Val Loss Epoch", float(np.mean(losses)), val_steps)
+        self._val_steps = val_steps
         return val_steps
 
     def _featurized_dirs(self):
@@ -280,11 +344,18 @@ class RoboVLNTrainer(BaseTrainer):
             logger.info("Data collection complete")
             return
 
-        self._setup_policy(cfg.DAGGER.LOAD_FROM_CKPT, cfg.DAGGER.CKPT_TO_LOAD)
+        start_epoch, resume_ckpt, resume_meta = (
+            self._find_resume() if cfg.DAGGER.RESUME else (0, "", {})
+        )
+        if resume_ckpt:
+            self._setup_policy(True, resume_ckpt)
+            logger.info(f"resuming at epoch {start_epoch} from {resume_ckpt}")
+        else:
+            self._setup_policy(cfg.DAGGER.LOAD_FROM_CKPT, cfg.DAGGER.CKPT_TO_LOAD)
 
         with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
-            train_steps = 0
-            val_steps = 0
+            train_steps = int(resume_meta.get("train_steps", 0))
+            val_steps = int(resume_meta.get("val_steps", 0))
             for dagger_it in range(cfg.DAGGER.ITERATIONS):
                 if collect:
                     self._update_dataset(dagger_it)
@@ -295,7 +366,9 @@ class RoboVLNTrainer(BaseTrainer):
                 if cfg.DAGGER.PRELOAD_TRUNK_FEATURES:
                     # after collection so a freshly grown buffer refeaturizes
                     train_dir, eval_dir = self._featurized_dirs()
-                for epoch in range(cfg.DAGGER.EPOCHS):
+                epochs = self._epoch_range(start_epoch)
+                start_epoch = 0  # resume applies to the first iteration only
+                for epoch in epochs:
                     t0 = time.time()
                     train_steps = self.train_epoch(
                         self._batches(train_dir, seed=epoch),
@@ -309,6 +382,12 @@ class RoboVLNTrainer(BaseTrainer):
                     logger.info(
                         f"epoch {epoch} done in {time.time() - t0:.1f}s "
                         f"({train_steps} train steps)"
+                    )
+                if epochs.stop < cfg.DAGGER.EPOCHS:
+                    logger.info(
+                        f"stopping after epoch {epochs.stop - 1} "
+                        "(DAGGER.MAX_EPOCHS_PER_RUN); a DAGGER.RESUME run "
+                        f"continues at epoch {epochs.stop}"
                     )
 
     # -- sim-facing paths (host-side; see envs/ and eval/) ---------------------

@@ -13,10 +13,20 @@ Pipeline per run: generate splits -> expert collection -> (feature-store)
 HCM training with per-epoch checkpoints -> closed-loop eval of selected
 checkpoints on val_seen + val_unseen -> docs-ready table.
 
+Every stage runs in its OWN subprocess (CS_STAGE env var re-invokes this
+script as the stage worker): the tunneled TPU client pins every host->device
+transfer buffer until process exit (docs/TPU_ENV_NOTES.md "Host->device
+transfer buffers leak"), so training runs DAGGER.RESUME=True +
+MAX_EPOCHS_PER_RUN=CS_EPOCHS_PER_PROC epochs per process — resume is exact
+(tests/test_trainers.py::test_resume_matches_uninterrupted_run).  The parent
+never imports jax (one TPU client at a time).  Every stage is restartable:
+collection reuses the buffer, training resumes from the newest checkpoint,
+eval skips checkpoints already in the per-split jsonl.
+
 Usage:  python scripts/convergence_study.py [out_dir]
 Knobs (env): CS_MODEL=hcm|cma|seq2seq CS_TRAIN=64 CS_VAL=12 CS_EPOCHS=24
   CS_EVAL_EVERY=4 CS_BATCH=8 CS_RGB=224 CS_DEPTH=256 CS_ON_DEVICE=1
-  CS_FEATURE_MODE=1 CS_NUM_ENVS=4 CS_SEED=0
+  CS_FEATURE_MODE=1 CS_NUM_ENVS=4 CS_SEED=0 CS_EPOCHS_PER_PROC=2
 
 Caveats recorded with the results: frozen backbones are random-init here
 (no pretrained files in the image; provenance rides in every stats json),
@@ -26,6 +36,7 @@ fast path, eval/ondevice.py) rather than the float64 host driver.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -57,6 +68,7 @@ FEATURE_MODE = bool(int(os.environ.get("CS_FEATURE_MODE", "1")))
 NUM_ENVS = int(os.environ.get("CS_NUM_ENVS", 4))
 SEED = int(os.environ.get("CS_SEED", 0))
 MAX_STEPS = int(os.environ.get("CS_MAX_STEPS", 500))
+EPOCHS_PER_PROC = int(os.environ.get("CS_EPOCHS_PER_PROC", 2))
 # program shape: turn-dense defaults (short segments, 2-4 of them) keep the
 # sub-goal classes balanced enough that the high level's conditional signal
 # is not swamped by the MOVE_FORWARD marginal
@@ -97,7 +109,12 @@ def build_config(data_dir: str):
     d.PRELOAD_LMDB_FEATURES = True  # collection is an explicit study stage
     d.PRELOAD_TRUNK_FEATURES = FEATURE_MODE
     d.LMDB_FEATURES_DIR = os.path.join(OUT, "buffer")
-    d.LMDB_EVAL_DIR = os.path.join(OUT, "buffer")
+    # no per-epoch val pass: the closed-loop eval curve is the study's
+    # signal, and val would double the leaked per-epoch transfer volume
+    d.LMDB_EVAL_DIR = os.path.join(OUT, "no_val_buffer")
+    # bounded-lifetime training processes (transfer-leak workaround)
+    d.RESUME = True
+    d.MAX_EPOCHS_PER_RUN = EPOCHS_PER_PROC
     # short CyclicLR ramp: the paper's 1000-step ramp would keep the high
     # level at ~base_lr for this study's entire step budget
     steps_per_epoch = max(N_TRAIN // BATCH, 1)
@@ -118,24 +135,51 @@ def build_config(data_dir: str):
     return cfg
 
 
-def main():
-    os.makedirs(OUT, exist_ok=True)
-    from robo_vln_tpu.data import langnav
+def data_dir():
+    return os.path.join(OUT, "datasets")
 
-    data_dir = os.path.join(OUT, "datasets")
-    langnav.generate_splits(
-        data_dir, n_train=N_TRAIN, n_val_unseen=N_VAL, n_val_seen=N_VAL,
-        seed=SEED, n_segments=SEGMENTS, lengths=LENGTHS,
-    )
-    print(f"[data] {N_TRAIN} train / {N_VAL} val_seen / {N_VAL} val_unseen "
-          f"LangNav episodes -> {data_dir}", flush=True)
 
-    cfg = build_config(data_dir)
+def ckpt_names():
+    folder = os.path.join(OUT, "ckpts")
+    if not os.path.isdir(folder):
+        return []
+    out = []
+    for name in os.listdir(folder):
+        if name.startswith("ckpt."):
+            try:
+                out.append((int(name.split(".")[1]), name))
+            except ValueError:
+                continue
+    return [n for _, n in sorted(out)]
 
-    t0 = time.time()
+
+def pick_checkpoints(names):
+    """Every EVAL_EVERY-th checkpoint, anchored at the first and last."""
+    picked = names[EVAL_EVERY - 1::EVAL_EVERY]
+    if names and (not picked or picked[0] != names[0]):
+        picked.insert(0, names[0])
+    if names and picked[-1] != names[-1]:
+        picked.append(names[-1])
+    return picked
+
+
+def idx_of(ckpt_name: str) -> int:
+    """Training epoch (0-based) encoded in 'ckpt.{EPOCHS+epoch}'."""
+    try:
+        return int(ckpt_name.split(".")[-1]) - EPOCHS
+    except ValueError:
+        return -1
+
+
+# ---------------------------------------------------------------------------
+# stage workers (subprocesses; the only code paths that import jax)
+# ---------------------------------------------------------------------------
+
+def stage_collect():
     from robo_vln_tpu.data.trajectory_store import TrajectoryStore
     from robo_vln_tpu.envs.collection import collect_dataset
 
+    cfg = build_config(data_dir())
     buf_dir = cfg.DAGGER.LMDB_FEATURES_DIR
     have = 0
     if os.path.isdir(buf_dir):
@@ -144,77 +188,134 @@ def main():
     if have >= N_TRAIN:  # restartability: collection appends, never redo it
         print(f"[collect] reusing existing buffer ({have} episodes)",
               flush=True)
-    else:
-        n = collect_dataset(cfg, buf_dir)
-        print(f"[collect] {n} episodes in {time.time() - t0:.1f}s", flush=True)
-
+        return
     t0 = time.time()
+    n = collect_dataset(cfg, buf_dir)
+    print(f"[collect] {n} episodes in {time.time() - t0:.1f}s", flush=True)
+
+
+def trainer_class():
+    if MODELS[MODEL][1] == "hier":
+        from robo_vln_tpu.training.hierarchical_trainer import (
+            HierarchicalTrainer,
+        )
+        return HierarchicalTrainer
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    return RoboVLNTrainer
+
+
+def stage_train():
+    cfg = build_config(data_dir())
+    trainer_class()(cfg).train()
+
+
+def stage_eval():
+    split = os.environ["CS_SPLIT"]
+    cfg = build_config(data_dir())
     if MODELS[MODEL][1] == "hier":
         from robo_vln_tpu.eval.evaluator import (
             eval_hierarchical_checkpoint as eval_fn,
         )
-        from robo_vln_tpu.training.hierarchical_trainer import (
-            HierarchicalTrainer as trainer_cls,
-        )
     else:
         from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint as eval_fn
-        from robo_vln_tpu.training.trainer import RoboVLNTrainer as trainer_cls
-
-    trainer = trainer_cls(cfg)
-    trainer.train()
-    print(f"[train] {MODEL}: {EPOCHS} epochs in {time.time() - t0:.1f}s",
-          flush=True)
-
-    from robo_vln_tpu.training import checkpoint as ckpt_lib
     from robo_vln_tpu.utils.logging import MetricsWriter
 
-    ckpts = ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)
-    picked = ckpts[EVAL_EVERY - 1::EVAL_EVERY]
-    # anchor the curve: earliest and final checkpoints always evaluated
-    if ckpts and (not picked or picked[0] != ckpts[0]):
-        picked.insert(0, ckpts[0])
-    if ckpts and picked[-1] != ckpts[-1]:
-        picked.append(ckpts[-1])
-    rows = []
-    results_path = os.path.join(OUT, "convergence.jsonl")
-    with open(results_path, "w") as rf:
-        for split in ("val_seen", "val_unseen"):
-            ecfg = cfg.clone().defrost()
-            ecfg.EVAL.SPLIT = split
-            ecfg.freeze()
-            etrainer = trainer_cls(ecfg)
-            for idx, ckpt in enumerate(picked):
-                t0 = time.time()
-                with MetricsWriter(os.path.join(OUT, "tb_eval", split)) as w:
-                    stats = eval_fn(etrainer, ckpt, w, idx)
-                row = {
-                    "model": MODEL,
-                    "split": split,
-                    "ckpt": os.path.basename(ckpt),
-                    "epoch": idx_of(ckpt, cfg),
-                    **{k: round(float(v), 4) for k, v in stats.items()
-                       if isinstance(v, (int, float))},
-                    "eval_seconds": round(time.time() - t0, 1),
-                }
-                rows.append(row)
-                rf.write(json.dumps(row) + "\n")
-                rf.flush()
-                print(f"[eval] {row}", flush=True)
+    rows_path = os.path.join(OUT, f"convergence_{split}.jsonl")
+    done = set()
+    if os.path.exists(rows_path):
+        with open(rows_path) as f:
+            done = {json.loads(l)["ckpt"] for l in f if l.strip()}
 
+    ecfg = cfg.clone().defrost()
+    ecfg.EVAL.SPLIT = split
+    ecfg.freeze()
+    trainer = trainer_class()(ecfg)
+    picked = pick_checkpoints(ckpt_names())
+    with open(rows_path, "a") as rf:
+        for idx, name in enumerate(picked):
+            if name in done:
+                continue
+            t0 = time.time()
+            with MetricsWriter(os.path.join(OUT, "tb_eval", split)) as w:
+                stats = eval_fn(
+                    trainer, os.path.join(OUT, "ckpts", name), w, idx
+                )
+            row = {
+                "model": MODEL,
+                "split": split,
+                "ckpt": name,
+                "epoch": idx_of(name),
+                **{k: round(float(v), 4) for k, v in stats.items()
+                   if isinstance(v, (int, float))},
+                "eval_seconds": round(time.time() - t0, 1),
+            }
+            rf.write(json.dumps(row) + "\n")
+            rf.flush()
+            print(f"[eval] {row}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# orchestrator (jax-free: one TPU client at a time)
+# ---------------------------------------------------------------------------
+
+def run_stage(stage: str, **extra_env) -> None:
+    env = {
+        **os.environ,
+        "CS_STAGE": stage,
+        # persistent XLA cache: recycled stage processes re-init the policy
+        # on the host CPU (training/trainer.py) — cache those compiles once
+        "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".jax_cache"),
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
+        "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "-1",
+        **extra_env,
+    }
+    cmd = [sys.executable, os.path.abspath(__file__), OUT]
+    print(f"[stage {stage}] {extra_env or ''}", flush=True)
+    proc = subprocess.run(cmd, env=env, cwd=REPO)
+    if proc.returncode != 0:
+        raise SystemExit(f"stage {stage} failed rc={proc.returncode}")
+
+
+def orchestrate():
+    os.makedirs(OUT, exist_ok=True)
+    from robo_vln_tpu.data import langnav  # numpy-only
+
+    langnav.generate_splits(
+        data_dir(), n_train=N_TRAIN, n_val_unseen=N_VAL, n_val_seen=N_VAL,
+        seed=SEED, n_segments=SEGMENTS, lengths=LENGTHS,
+    )
+    print(f"[data] {N_TRAIN} train / {N_VAL} val_seen / {N_VAL} val_unseen "
+          f"LangNav episodes -> {data_dir()}", flush=True)
+
+    run_stage("collect")
+
+    # bounded-lifetime training processes until all epochs are checkpointed
+    t0 = time.time()
+    while len(ckpt_names()) < EPOCHS:
+        before = len(ckpt_names())
+        run_stage("train")
+        if len(ckpt_names()) <= before:
+            raise SystemExit(
+                f"train stage made no progress ({before} checkpoints)"
+            )
+        print(f"[train] {len(ckpt_names())}/{EPOCHS} epochs "
+              f"({time.time() - t0:.0f}s elapsed)", flush=True)
+
+    for split in ("val_seen", "val_unseen"):
+        run_stage("eval", CS_SPLIT=split)
+
+    rows = []
+    for split in ("val_seen", "val_unseen"):
+        with open(os.path.join(OUT, f"convergence_{split}.jsonl")) as f:
+            rows += [json.loads(l) for l in f if l.strip()]
+    with open(os.path.join(OUT, "convergence.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
     table = render_table(rows)
     with open(os.path.join(OUT, "convergence.md"), "w") as f:
         f.write(table)
     print(table, flush=True)
     print("CONVERGENCE STUDY OK", flush=True)
-
-
-def idx_of(ckpt_path: str, cfg) -> int:
-    """Training epoch (0-based) encoded in 'ckpt.{EPOCHS+epoch}'."""
-    tag = os.path.basename(ckpt_path).split(".")[-1]
-    try:
-        return int(tag) - cfg.DAGGER.EPOCHS
-    except ValueError:
-        return -1
 
 
 def render_table(rows) -> str:
@@ -230,4 +331,14 @@ def render_table(rows) -> str:
 
 
 if __name__ == "__main__":
-    main()
+    stage = os.environ.get("CS_STAGE")
+    if stage == "collect":
+        stage_collect()
+    elif stage == "train":
+        stage_train()
+    elif stage == "eval":
+        stage_eval()
+    elif stage:
+        raise SystemExit(f"unknown CS_STAGE {stage!r}")
+    else:
+        orchestrate()

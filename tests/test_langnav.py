@@ -161,15 +161,19 @@ def test_convergence_study_helpers(tmp_path, monkeypatch):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    class _D:
-        EPOCHS = 10
+    mod.EPOCHS = 10
+    assert mod.idx_of("ckpt.10") == 0
+    assert mod.idx_of("ckpt.19") == 9
+    assert mod.idx_of("ckpt.weird") == -1
 
-    class _Cfg:
-        DAGGER = _D()
-
-    assert mod.idx_of("/x/ckpt.10", _Cfg()) == 0
-    assert mod.idx_of("/x/ckpt.19", _Cfg()) == 9
-    assert mod.idx_of("/x/ckpt.weird", _Cfg()) == -1
+    # eval-checkpoint picking: every Nth, anchored at first and last
+    mod.EVAL_EVERY = 4
+    names = [f"ckpt.{10 + e}" for e in range(10)]
+    picked = mod.pick_checkpoints(names)
+    assert picked[0] == "ckpt.10" and picked[-1] == "ckpt.19"
+    assert "ckpt.13" in picked and "ckpt.17" in picked
+    assert mod.pick_checkpoints([]) == []
+    assert mod.pick_checkpoints(["ckpt.10"]) == ["ckpt.10"]
 
     rows = [
         {"split": "val_seen", "epoch": 4, "success": 0.5, "spl": 0.4,

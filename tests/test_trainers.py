@@ -305,6 +305,60 @@ def test_remat_matches_no_remat(tmp_path, rng):
     )
 
 
+def test_resume_matches_uninterrupted_run(tmp_path, rng):
+    """DAGGER.RESUME + MAX_EPOCHS_PER_RUN: a run split across two trainer
+    processes produces bit-identical final parameters to one uninterrupted
+    run — data order (epoch-seeded), dropout streams (step-keyed), optimizer
+    state (orbax) and TB counters (ckpt metadata) all restore exactly."""
+    def base_cfg(subdir):
+        cfg = tiny_config(tmp_path, batch_size=1)
+        cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+        cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+        cfg.DAGGER.EPOCHS = 2
+        cfg.CHECKPOINT_FOLDER = str(tmp_path / subdir / "ckpts")
+        cfg.TENSORBOARD_DIR = str(tmp_path / subdir / "tb")
+        return cfg
+
+    fill_buffer(str(tmp_path / "train_buf"), np.random.default_rng(7), n_eps=6)
+    fill_buffer(str(tmp_path / "eval_buf"), np.random.default_rng(8), n_eps=2)
+
+    from robo_vln_tpu.training import checkpoint as ckpt_lib
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+
+    # A: uninterrupted 2-epoch run
+    cfg = base_cfg("runA")
+    cfg.freeze()
+    RoboVLNTrainer(cfg).train()
+    final_a = ckpt_lib.list_checkpoints(cfg.CHECKPOINT_FOLDER)[-1]
+
+    # B: one epoch per "process" (fresh trainer objects), resumed
+    cfg1 = base_cfg("runB")
+    cfg1.DAGGER.RESUME = True
+    cfg1.DAGGER.MAX_EPOCHS_PER_RUN = 1
+    cfg1.freeze()
+    RoboVLNTrainer(cfg1).train()
+    assert len(ckpt_lib.list_checkpoints(cfg1.CHECKPOINT_FOLDER)) == 1
+    RoboVLNTrainer(cfg1).train()  # fresh object = fresh process
+    ckpts_b = ckpt_lib.list_checkpoints(cfg1.CHECKPOINT_FOLDER)
+    assert len(ckpts_b) == 2
+    meta = ckpt_lib.load_metadata(ckpts_b[-1])
+    assert meta["train_steps"] > ckpt_lib.load_metadata(ckpts_b[0])["train_steps"]
+
+    # identical final states
+    trainer = RoboVLNTrainer(cfg)
+    trainer._setup_policy()
+    sa = ckpt_lib.load_checkpoint(final_a, trainer.state)
+    sb = ckpt_lib.load_checkpoint(ckpts_b[-1], trainer.state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        sa.params, sb.params,
+    )
+
+    # a third run is a no-op (already complete)
+    RoboVLNTrainer(cfg1).train()
+    assert len(ckpt_lib.list_checkpoints(cfg1.CHECKPOINT_FOLDER)) == 2
+
+
 def test_collect_then_train_one_run(tmp_path, rng):
     """PRELOAD=False + COLLECT_ONLY=False: one train() call fills the buffer
     from expert rollouts AND produces checkpoints (VERDICT.md missing#6)."""
