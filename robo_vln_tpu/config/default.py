@@ -79,6 +79,12 @@ _C.EVAL.NUM_ENVS = 1
 # Fast path: float32 device sim, not bit-identical to the float64 host sim.
 _C.EVAL.ON_DEVICE = False
 _C.EVAL.ON_DEVICE_BATCH = 8
+# Language-grounding control (no reference equivalent): evaluate with every
+# episode carrying ANOTHER episode's instruction (deterministic rotation,
+# same start pose/path/metrics).  Grounded policies collapse toward the
+# nonlearning baseline; path-prior memorizers don't (evaluator.py
+# shuffle_instructions; used by scripts/convergence_study.py).
+_C.EVAL.SHUFFLE_INSTRUCTIONS = False
 _C.EVAL.EVAL_NONLEARNING = False
 _C.EVAL.NONLEARNING = ConfigTree()
 _C.EVAL.NONLEARNING.AGENT = "RandomAgent"

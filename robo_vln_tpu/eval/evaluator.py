@@ -250,6 +250,49 @@ def _check_backbone_provenance(trainer) -> Dict:
     return prov
 
 
+def shuffle_instructions(episodes, label: str = "eval") -> int:
+    """EVAL.SHUFFLE_INSTRUCTIONS language-grounding control: give every
+    episode a DIFFERENT episode's instruction — a deterministic rotation in
+    episode_id order, which is a derangement whenever the instructions are
+    pairwise distinct — while the start pose, reference path, goals, and all
+    metrics stay the episode's own.  A policy that actually grounds language
+    must collapse toward the nonlearning baseline under this control; a
+    policy that memorized a path prior is unaffected.  The reference has no
+    equivalent — this exists so the synthetic LangNav convergence study
+    (scripts/convergence_study.py) is falsifiable.  Returns the number of
+    episodes whose instruction actually changed."""
+    order = sorted(range(len(episodes)),
+                   key=lambda i: str(episodes[i].episode_id))
+    if len(order) < 2:
+        logger.warning(
+            f"{label}: SHUFFLE_INSTRUCTIONS with <2 episodes is a no-op"
+        )
+        return 0
+    instrs = [episodes[i].instruction for i in order]
+    changed = 0
+    for k, i in enumerate(order):
+        new = instrs[(k + 1) % len(order)]
+        if new.instruction_text != episodes[i].instruction.instruction_text:
+            changed += 1
+        episodes[i].instruction = new
+    logger.info(
+        f"{label}: SHUFFLE_INSTRUCTIONS control active — {changed}/"
+        f"{len(order)} episodes now carry another episode's instruction"
+    )
+    return changed
+
+
+def _maybe_shuffle_env_instructions(config, envs) -> None:
+    """Apply the grounding control to host-driver envs (the on-device driver
+    applies it to its own episode list)."""
+    if not config.EVAL.get("SHUFFLE_INSTRUCTIONS", False):
+        return
+    for env in envs:
+        ds = getattr(env.habitat_env, "dataset", None)
+        if ds is not None and getattr(ds, "episodes", None):
+            shuffle_instructions(ds.episodes)
+
+
 def _tokenizer_for(config):
     if not config.MODEL.INSTRUCTION_ENCODER.is_bert:
         return None
@@ -579,8 +622,10 @@ def eval_flat_checkpoint(trainer, checkpoint_path, writer,
         from robo_vln_tpu.envs.env_utils import construct_envs
 
         envs = construct_envs(config, num_envs=n_envs)
+        _maybe_shuffle_env_instructions(config, envs)
     else:
         env = construct_env(config)
+        _maybe_shuffle_env_instructions(config, [env])
     policy = trainer.policy
     params = trainer.state.params
 
@@ -647,8 +692,10 @@ def eval_hierarchical_checkpoint(trainer, checkpoint_path, writer,
         from robo_vln_tpu.envs.env_utils import construct_envs
 
         envs = construct_envs(config, num_envs=n_envs)
+        _maybe_shuffle_env_instructions(config, envs)
     else:
         env = construct_env(config)
+        _maybe_shuffle_env_instructions(config, [env])
     high, low = trainer.high, trainer.low
     from robo_vln_tpu.training.hierarchical_trainer import _bind
 
@@ -787,6 +834,8 @@ def _eval_on_device(trainer, config, writer, checkpoint_index: int, extra,
     dataset = VLNCEDatasetV1(config=config.TASK_CONFIG.DATASET)
     want = min(config.EVAL.EPISODE_COUNT, len(dataset.episodes))
     episodes = dataset.episodes[:want]
+    if config.EVAL.get("SHUFFLE_INSTRUCTIONS", False):
+        shuffle_instructions(episodes, label="on-device eval")
     gt_json = _load_gt(config)
     sd = config.TASK_CONFIG.TASK.NDTW.SUCCESS_DISTANCE
     tokenizer = _tokenizer_for(config)

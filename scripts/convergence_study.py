@@ -211,6 +211,7 @@ def stage_train():
 
 def stage_eval():
     split = os.environ["CS_SPLIT"]
+    shuffled = bool(int(os.environ.get("CS_SHUFFLE", "0")))
     cfg = build_config(data_dir())
     if MODELS[MODEL][1] == "hier":
         from robo_vln_tpu.eval.evaluator import (
@@ -220,7 +221,12 @@ def stage_eval():
         from robo_vln_tpu.eval.evaluator import eval_flat_checkpoint as eval_fn
     from robo_vln_tpu.utils.logging import MetricsWriter
 
-    rows_path = os.path.join(OUT, f"convergence_{split}.jsonl")
+    # the grounding control rides the same eval machinery: same split, same
+    # metrics, EVAL.SHUFFLE_INSTRUCTIONS=True (each episode gets another
+    # episode's instruction) — recorded under its own row label so the
+    # committed table shows grounded-vs-control side by side
+    row_split = f"{split}_shuffled" if shuffled else split
+    rows_path = os.path.join(OUT, f"convergence_{row_split}.jsonl")
     done = set()
     if os.path.exists(rows_path):
         with open(rows_path) as f:
@@ -228,6 +234,7 @@ def stage_eval():
 
     ecfg = cfg.clone().defrost()
     ecfg.EVAL.SPLIT = split
+    ecfg.EVAL.SHUFFLE_INSTRUCTIONS = shuffled
     ecfg.freeze()
     trainer = trainer_class()(ecfg)
     picked = pick_checkpoints(ckpt_names())
@@ -236,13 +243,13 @@ def stage_eval():
             if name in done:
                 continue
             t0 = time.time()
-            with MetricsWriter(os.path.join(OUT, "tb_eval", split)) as w:
+            with MetricsWriter(os.path.join(OUT, "tb_eval", row_split)) as w:
                 stats = eval_fn(
                     trainer, os.path.join(OUT, "ckpts", name), w, idx
                 )
             row = {
                 "model": MODEL,
-                "split": split,
+                "split": row_split,
                 "ckpt": name,
                 "epoch": idx_of(name),
                 **{k: round(float(v), 4) for k, v in stats.items()
@@ -303,9 +310,12 @@ def orchestrate():
 
     for split in ("val_seen", "val_unseen"):
         run_stage("eval", CS_SPLIT=split)
+    # language-grounding control: val_unseen with rotated instructions —
+    # grounded policies must collapse toward the nonlearning baseline here
+    run_stage("eval", CS_SPLIT="val_unseen", CS_SHUFFLE="1")
 
     rows = []
-    for split in ("val_seen", "val_unseen"):
+    for split in ("val_seen", "val_unseen", "val_unseen_shuffled"):
         with open(os.path.join(OUT, f"convergence_{split}.jsonl")) as f:
             rows += [json.loads(l) for l in f if l.strip()]
     with open(os.path.join(OUT, "convergence.jsonl"), "w") as f:

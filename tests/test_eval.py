@@ -346,3 +346,79 @@ def test_tree_fingerprint_content_keyed():
     assert _tree_fingerprint(a) != _tree_fingerprint(d)
     e = {"bn2": {"mean": np.arange(8, dtype=np.float32)}}
     assert _tree_fingerprint(a) != _tree_fingerprint(e)
+
+
+def test_shuffle_instructions_is_a_derangement(tmp_path):
+    """Every episode must end up with a DIFFERENT episode's instruction while
+    everything else (path, goals, start pose) stays its own."""
+    from robo_vln_tpu.data.dataset import VLNCEDatasetV1
+    from robo_vln_tpu.eval.evaluator import shuffle_instructions
+
+    ds = VLNCEDatasetV1(data_path=make_episode_json(tmp_path, n_eps=5))
+    before = {
+        ep.episode_id: (
+            ep.instruction.instruction_text,
+            list(ep.reference_path),
+            list(ep.start_position),
+        )
+        for ep in ds.episodes
+    }
+    changed = shuffle_instructions(ds.episodes)
+    assert changed == 5
+    seen_texts = set()
+    for ep in ds.episodes:
+        text0, path0, start0 = before[ep.episode_id]
+        assert ep.instruction.instruction_text != text0  # wrong instruction
+        assert list(ep.reference_path) == path0  # own path/metrics
+        assert list(ep.start_position) == start0
+        seen_texts.add(ep.instruction.instruction_text)
+    # a permutation, not duplication
+    assert seen_texts == {t for t, _, _ in before.values()}
+    # deterministic: same rotation on a fresh load
+    ds2 = VLNCEDatasetV1(data_path=make_episode_json(tmp_path, n_eps=5))
+    shuffle_instructions(ds2.episodes)
+    assert [e.instruction.instruction_text for e in ds2.episodes] == [
+        e.instruction.instruction_text for e in ds.episodes
+    ]
+
+
+def test_flat_eval_shuffled_instruction_control(tmp_path, rng):
+    """EVAL.SHUFFLE_INSTRUCTIONS drives the host rollout end to end: the env
+    dataset's instructions are rotated before the rollout and the stats json
+    still aggregates the episodes' OWN metrics."""
+    cfg = tiny_config(tmp_path, batch_size=2)
+    cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+    cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    data_path = make_episode_json(tmp_path, n_eps=3)
+    cfg.TASK_CONFIG.SIMULATOR.TYPE = "kinematic"
+    cfg.TASK_CONFIG.DATASET.DATA_PATH = data_path
+    cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS = 10
+    cfg.EVAL.SPLIT = "train"
+    cfg.EVAL.EPISODE_COUNT = 2
+    cfg.EVAL.SHUFFLE_INSTRUCTIONS = True
+    cfg.EVAL.VAL_LOG_DIR = str(tmp_path / "val_logs")
+    cfg.freeze()
+
+    from robo_vln_tpu.eval import evaluator
+    from robo_vln_tpu.training.trainer import RoboVLNTrainer
+    from robo_vln_tpu.utils.logging import MetricsWriter
+
+    shuffled_counts = []
+    orig = evaluator.shuffle_instructions
+
+    def spy(episodes, label="eval"):
+        n = orig(episodes, label)
+        shuffled_counts.append(n)
+        return n
+
+    evaluator.shuffle_instructions, saved = spy, orig
+    try:
+        trainer = RoboVLNTrainer(cfg)
+        with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
+            stats = evaluator.eval_flat_checkpoint(trainer, "", writer, 0)
+    finally:
+        evaluator.shuffle_instructions = saved
+    assert shuffled_counts and shuffled_counts[0] == 3
+    assert "ndtw" in stats and "spl" in stats
+    out = os.path.join(cfg.EVAL.VAL_LOG_DIR, "stats_ckpt_0_train.json")
+    assert os.path.exists(out)
