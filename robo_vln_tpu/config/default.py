@@ -66,6 +66,14 @@ _C.TPU.PALLAS_ATTENTION = False
 # ---------------------------------------------------------------------------
 _C.EVAL = ConfigTree()
 _C.EVAL.SPLIT = "val_seen"
+# folder-sweep mode: ONCE=True evaluates the checkpoints present and exits;
+# ONCE=False is the reference's eval daemon (habitat BaseRLTrainer.eval polls
+# EVAL_CKPT_PATH_DIR for NEW checkpoints forever, README.md:209) so eval runs
+# concurrently with training.  POLL_IDLE_TIMEOUT_SEC=0 waits forever
+# (reference behavior); >0 exits that long after the last new checkpoint.
+_C.EVAL.ONCE = True
+_C.EVAL.POLL_INTERVAL_SEC = 2.0
+_C.EVAL.POLL_IDLE_TIMEOUT_SEC = 0.0
 _C.EVAL.USE_CKPT_CONFIG = True
 _C.EVAL.EPISODE_COUNT = 2
 # batched closed-loop eval: N envs stepped in parallel, ONE policy program

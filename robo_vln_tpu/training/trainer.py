@@ -111,18 +111,62 @@ class BaseTrainer:
         return range(start_epoch, end)
 
     def eval(self) -> None:
+        """Evaluate EVAL_CKPT_PATH_DIR: a single checkpoint, or a folder
+        sweep.  With EVAL.ONCE=False the sweep becomes the reference's eval
+        daemon (habitat BaseRLTrainer.eval polls the folder for NEW
+        checkpoints forever, reference README.md:209) — eval runs
+        concurrently with training and picks up each epoch's checkpoint as
+        it lands; EVAL.POLL_IDLE_TIMEOUT_SEC bounds how long to wait after
+        the last new checkpoint (0 = forever, the reference behavior).
+        EVAL.ONCE=True (default) lists the folder once and exits — a
+        deliberate usability deviation recorded in docs/PARITY.md."""
         from robo_vln_tpu.utils.logging import MetricsWriter
 
         path = self.config.EVAL_CKPT_PATH_DIR
+        once = bool(self.config.EVAL.get("ONCE", True))
+        interval = float(self.config.EVAL.get("POLL_INTERVAL_SEC", 2.0))
+        idle_timeout = float(
+            self.config.EVAL.get("POLL_IDLE_TIMEOUT_SEC", 0.0)
+        )
         with MetricsWriter(self.config.TENSORBOARD_DIR) as writer:
-            if os.path.isdir(path) and not os.path.exists(
+            if not (os.path.isdir(path) and not os.path.exists(
                 os.path.join(path, "framework_metadata.json")
-            ):
-                ckpts = ckpt_lib.list_checkpoints(path)
-                for i, ck in enumerate(ckpts):
-                    self._eval_checkpoint(ck, writer, checkpoint_index=i)
-            else:
+            )):
                 self._eval_checkpoint(path, writer, checkpoint_index=0)
+                return
+            evaluated = set()
+            index = 0
+            last_new = time.time()
+            while True:
+                fresh = [c for c in ckpt_lib.list_checkpoints(path)
+                         if c not in evaluated]
+                for ck in fresh:
+                    try:
+                        self._eval_checkpoint(ck, writer, checkpoint_index=index)
+                    except Exception:
+                        if once:
+                            raise
+                        # daemon mode: a checkpoint can be listed mid-save;
+                        # leave it un-evaluated and retry on the next poll
+                        logger.exception(
+                            f"eval daemon: checkpoint {ck} failed "
+                            "(possibly mid-save); will retry"
+                        )
+                        break
+                    evaluated.add(ck)
+                    index += 1
+                    last_new = time.time()
+                if once:
+                    break
+                idle = time.time() - last_new
+                if idle_timeout > 0 and idle > idle_timeout:
+                    logger.info(
+                        f"eval daemon: no new checkpoint in {idle:.0f}s "
+                        f"(POLL_IDLE_TIMEOUT_SEC={idle_timeout:.0f}); exiting "
+                        f"after {len(evaluated)} checkpoints"
+                    )
+                    break
+                time.sleep(interval)
 
 
 @register_trainer("robo_vln_trainer")

@@ -422,3 +422,93 @@ def test_flat_eval_shuffled_instruction_control(tmp_path, rng):
     assert "ndtw" in stats and "spl" in stats
     out = os.path.join(cfg.EVAL.VAL_LOG_DIR, "stats_ckpt_0_train.json")
     assert os.path.exists(out)
+
+
+def _daemon_cfg(tmp_path, ckpt_dir, once: bool):
+    from robo_vln_tpu.config.default import get_config
+
+    cfg = get_config().clone().defrost()
+    cfg.EVAL_CKPT_PATH_DIR = str(ckpt_dir)
+    cfg.EVAL.ONCE = once
+    cfg.EVAL.POLL_INTERVAL_SEC = 0.05
+    cfg.EVAL.POLL_IDLE_TIMEOUT_SEC = 1.0
+    cfg.TENSORBOARD_DIR = str(tmp_path / "tb")
+    cfg.freeze()
+    return cfg
+
+
+def test_eval_daemon_picks_up_checkpoint_landing_mid_eval(tmp_path):
+    """EVAL.ONCE=False: the folder sweep keeps polling (reference
+    BaseRLTrainer.eval daemon, README.md:209) — a checkpoint saved while the
+    first one is being evaluated is picked up, and POLL_IDLE_TIMEOUT_SEC
+    terminates the daemon once no new checkpoints appear."""
+    import time as _time
+
+    from robo_vln_tpu.training.trainer import BaseTrainer
+
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "ckpt.0").mkdir()
+    cfg = _daemon_cfg(tmp_path, ckpt_dir, once=False)
+    seen = []
+
+    class _T(BaseTrainer):
+        def __init__(self):
+            self.config = cfg
+
+        def _eval_checkpoint(self, ck, writer, checkpoint_index=0):
+            seen.append((os.path.basename(ck), checkpoint_index))
+            if len(seen) == 1:  # training "saves" the next epoch mid-eval
+                (ckpt_dir / "ckpt.1").mkdir()
+
+    t0 = _time.time()
+    _T().eval()
+    assert seen == [("ckpt.0", 0), ("ckpt.1", 1)]
+    assert _time.time() - t0 >= 1.0  # exited via the idle timeout
+
+
+def test_eval_once_ignores_late_checkpoints(tmp_path):
+    """EVAL.ONCE=True (default): list the folder once, evaluate, exit —
+    checkpoints landing mid-sweep are NOT picked up."""
+    from robo_vln_tpu.training.trainer import BaseTrainer
+
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "ckpt.0").mkdir()
+    cfg = _daemon_cfg(tmp_path, ckpt_dir, once=True)
+    seen = []
+
+    class _T(BaseTrainer):
+        def __init__(self):
+            self.config = cfg
+
+        def _eval_checkpoint(self, ck, writer, checkpoint_index=0):
+            seen.append(os.path.basename(ck))
+            (ckpt_dir / f"ckpt.{len(seen)}").mkdir()
+
+    _T().eval()
+    assert seen == ["ckpt.0"]
+
+
+def test_eval_daemon_retries_failed_checkpoint(tmp_path):
+    """A checkpoint listed mid-save can fail to load; the daemon must retry
+    it on the next poll instead of crashing or skipping it."""
+    from robo_vln_tpu.training.trainer import BaseTrainer
+
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "ckpt.0").mkdir()
+    cfg = _daemon_cfg(tmp_path, ckpt_dir, once=False)
+    calls = []
+
+    class _T(BaseTrainer):
+        def __init__(self):
+            self.config = cfg
+
+        def _eval_checkpoint(self, ck, writer, checkpoint_index=0):
+            calls.append(os.path.basename(ck))
+            if len(calls) == 1:
+                raise RuntimeError("checkpoint still being written")
+
+    _T().eval()
+    assert calls == ["ckpt.0", "ckpt.0"]  # failed once, retried, succeeded
