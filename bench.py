@@ -2,8 +2,10 @@
 
 Prints ONE JSON line:
   {"metric": "HCM IL train-step throughput", "value": N,
-   "unit": "frames/sec/chip", "vs_baseline": N,
-   "forward_fps": N, "forward_vs_baseline": N, "torch_threads": N}
+   "unit": "frames/sec/chip", "vs_baseline": N, "batch": B, "t": T,
+   "step_ms": N, "train_fps_by_batch": {...}, "forward_fps": N,
+   "forward_vs_baseline": N, "feature_train_fps": N, "flops_per_frame": N,
+   "tflops": N, "mfu": N, "peak_tflops_bf16": N, "torch_threads": N}
 
 value    = frames/sec of the full hierarchical IL TRAIN step — the reference's
            metric-critical hot loop (robo_vln_trainer.py:505-542 /
@@ -16,6 +18,10 @@ forward_fps = frames/sec of the teacher-forced forward alone (round-1 metric,
 vs_baseline = each value / the equivalent PyTorch-CPU measurement
            (benchmarks/torch_hcm.py), measured once and cached in
            benchmarks/baseline_cache.json along with torch.get_num_threads().
+value    is the best config from a raw-step batch sweep (BENCH_SWEEP,
+           default "4,8"); tflops/mfu = measured rate x analytic FLOPs/frame
+           (HLO cost analysis of the lowered program, measure_flops) against
+           the v5e bf16 peak (197 TFLOP/s, BENCH_PEAK_TFLOPS to override).
 
 Measurement method: the single-chip TPU here sits behind a host tunnel where
 per-call dispatch costs ~30 ms and device->host transfers are slow, so naive
@@ -48,7 +54,9 @@ def _timed(fn, xs, reps):
     return min(ts)
 
 
-def measure_tpu_fps(batch=4, t=50, reps=7):
+def _build_forward(batch=4, t=50):
+    """Teacher-forced HCM forward program + args (shared by the timed TPU
+    path and the CPU FLOPs-analysis path)."""
     import jax
     import jax.numpy as jnp
 
@@ -89,11 +97,20 @@ def measure_tpu_fps(batch=4, t=50, reps=7):
         actions, stop, lh = low.apply(lparams, obs, lh, prev, masks, pred)
         return jnp.mean(actions.astype(jnp.float32))
 
+    args = (hparams, lparams, obs, masks, prev, hh, lh)
+    return fwd, args, masks
+
+
+def measure_tpu_fps(batch=4, t=50, reps=7):
+    import jax
+    import jax.numpy as jnp
+
+    fwd, args, masks = _build_forward(batch, t)
+
     @jax.jit
     def trivial(masks):  # per-call dispatch + scalar-fetch overhead probe
         return jnp.mean(masks)
 
-    args = (hparams, lparams, obs, masks, prev, hh, lh)
     float(fwd(*args))  # the ONE model-sized remote compile
     float(trivial(masks))
 
@@ -103,11 +120,11 @@ def measure_tpu_fps(batch=4, t=50, reps=7):
     return 1.0 / per_frame
 
 
-def measure_tpu_train_fps(batch=None, t=None, reps=5, feature_mode=False):
-    """Full hierarchical IL train step (grads + AdamW high / Adam low) as one
-    jitted program, same overhead-subtraction method.
+def _build_train_step(batch=None, t=None, feature_mode=False):
+    """Full hierarchical IL train-step program + args (shared by the timed
+    TPU path and the CPU FLOPs-analysis path).
 
-    feature_mode=True measures the feature-store training step
+    feature_mode=True builds the feature-store training step
     (DAGGER.PRELOAD_TRUNK_FEATURES, training/featurize.py): batches carry
     precomputed f16 trunk features instead of raw frames, so the step is just
     the trainable stack.  BENCH_BATCH / BENCH_T env vars override the default
@@ -206,6 +223,19 @@ def measure_tpu_train_fps(batch=None, t=None, reps=5, feature_mode=False):
         new_state, hh, lh, metrics = step(state, hh, lh, batch_data, 1e-4, 1e-4)
         return new_state, hh, lh, metrics["high_level_loss"]
 
+    return step, run, (state, hh, lh, batch_data), masks, batch, t
+
+
+def measure_tpu_train_fps(batch=None, t=None, reps=5, feature_mode=False):
+    """Time the full hierarchical IL train step (grads + AdamW high / Adam
+    low) as one jitted program, same overhead-subtraction method."""
+    import jax
+    import jax.numpy as jnp
+
+    _, run, (state, hh, lh, batch_data), masks, batch, t = _build_train_step(
+        batch, t, feature_mode
+    )
+
     @jax.jit
     def trivial(masks):
         return jnp.mean(masks)
@@ -224,6 +254,30 @@ def measure_tpu_train_fps(batch=None, t=None, reps=5, feature_mode=False):
     t_0 = _timed(trivial, (masks,), reps)
     per_frame = max(t_step - t_0, 1e-9) / (batch * t)
     return 1.0 / per_frame
+
+
+def measure_flops(which: str):
+    """Analytic FLOPs of the measured program at its exact shapes, from XLA's
+    HLO cost analysis on the *lowered* (pre-backend-optimization) module —
+    run in a CPU-pinned process: lowering only traces (no device compile, no
+    remote-compile budget), and the algorithmic FLOP count is
+    backend-independent.  Conv/matmul FLOPs dominate and follow the standard
+    2*MACs convention, so fps x flops/frame / peak gives MFU directly."""
+    import jax
+
+    if which == "forward":
+        fwd, args, _ = _build_forward()
+        lowered = fwd.lower(*args)
+        batch = args[2]["instruction"].shape[0]
+        t = args[3].shape[1]
+    else:
+        step, _, (state, hh, lh, batch_data), masks, batch, t = (
+            _build_train_step(feature_mode=(which == "train_feat"))
+        )
+        lowered = step.lower(state, hh, lh, batch_data, 1e-4, 1e-4)
+    flops = float(lowered.cost_analysis()["flops"])
+    return {"flops": flops, "flops_per_frame": flops / (batch * t),
+            "batch": batch, "t": t}
 
 
 def get_torch_baselines():
@@ -272,19 +326,35 @@ def wait_for_device(max_wait=900):
             time.sleep(30)
 
 
-def _measure_in_subprocess(which: str, tries: int = 2):
-    """Each model-sized compile gets its own process (compile-budget rule)."""
+# TPU v5e (v5 lite) bf16 peak per chip; override for other hardware.
+PEAK_BF16_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+
+
+def _measure_in_subprocess(which: str, tries: int = 2, extra_env=None,
+                           cpu: bool = False):
+    """Each model-sized compile gets its own process (compile-budget rule).
+
+    cpu=True pins the subprocess to the host CPU backend (FLOPs analysis:
+    lowering only, never touches the tunneled device).  Returns the parsed
+    JSON dict from the subprocess, or None."""
+    env = dict(os.environ)
+    env.update(extra_env or {})
+    if cpu:
+        env["BENCH_FORCE_CPU"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
     for attempt in range(tries):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--measure", which],
-            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, timeout=3600,
         )
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                return json.loads(line)["fps"]
-            except (json.JSONDecodeError, KeyError):
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
                 continue
+            if isinstance(parsed, dict):
+                return parsed
         print(
             f"# bench {which} attempt {attempt} failed rc={proc.returncode}: "
             + proc.stderr[-500:].replace("\n", " | "),
@@ -295,10 +365,24 @@ def _measure_in_subprocess(which: str, tries: int = 2):
     return None
 
 
+def _measure_fps(which, tries=2, extra_env=None):
+    r = _measure_in_subprocess(which, tries=tries, extra_env=extra_env)
+    return None if r is None else r.get("fps")
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--measure":
-        wait_for_device()
         which = sys.argv[2]
+        if which.startswith("flops_"):
+            # CPU-pinned analysis process (see _measure_in_subprocess): the
+            # ambient axon plugin force-appends itself to jax_platforms, so
+            # pin the config flag before first device use (TPU_ENV_NOTES.md)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            print(json.dumps(measure_flops(which[len("flops_"):])))
+            return
+        wait_for_device()
         if which == "forward":
             fps = measure_tpu_fps()
         elif which == "train_feat":
@@ -309,11 +393,29 @@ def main():
         return
 
     cache = get_torch_baselines()
-    train_fps = _measure_in_subprocess("train")
-    fwd_fps = _measure_in_subprocess("forward")
-    feat_fps = _measure_in_subprocess("train_feat", tries=1)
+    # raw-step batch sweep: the headline is the best measured config, and the
+    # sweep records where the knee is (BENCH_SWEEP="" restores single-config)
+    sweep = [
+        int(x) for x in os.environ.get("BENCH_SWEEP", "4,8").split(",") if x
+    ] or [4]
+    train_by_batch = {}
+    for b in sweep:
+        fps = _measure_fps("train", tries=1 if len(sweep) > 1 else 2,
+                           extra_env={"BENCH_BATCH": str(b)})
+        if fps is not None:
+            train_by_batch[b] = fps
+    if not train_by_batch and len(sweep) > 1:  # one retry at the default
+        fps = _measure_fps("train")
+        if fps is not None:
+            train_by_batch[sweep[0]] = fps
+    best_b = max(train_by_batch, key=train_by_batch.get) \
+        if train_by_batch else None
+    train_fps = train_by_batch.get(best_b)
+    fwd_fps = _measure_fps("forward")
+    feat_fps = _measure_fps("train_feat", tries=1)
     if train_fps is None and fwd_fps is None:
         raise RuntimeError("both bench subprocesses failed")
+    bench_t = int(os.environ.get("BENCH_T", 50))
     if train_fps is not None:
         result = {
             "metric": "HCM IL train-step throughput",
@@ -322,7 +424,15 @@ def main():
             "vs_baseline": round(
                 float(train_fps / cache["torch_cpu_train_fps"]), 2
             ),
+            "batch": best_b,
+            "t": bench_t,
+            "step_ms": round(best_b * bench_t / float(train_fps) * 1e3, 2),
         }
+        if len(train_by_batch) > 1:
+            result["train_fps_by_batch"] = {
+                str(b): round(float(f), 2)
+                for b, f in sorted(train_by_batch.items())
+            }
     else:  # headline falls back to the measurement that succeeded — the
         # contract is one JSON line with numeric value/vs_baseline
         result = {
@@ -339,6 +449,19 @@ def main():
     if feat_fps is not None:
         # feature-store training mode (DAGGER.PRELOAD_TRUNK_FEATURES)
         result["feature_train_fps"] = round(float(feat_fps), 2)
+    # hardware efficiency of the headline train config: analytic FLOPs from
+    # HLO cost analysis (CPU-pinned lowering) x measured rate / chip peak
+    if train_fps is not None:
+        fl = _measure_in_subprocess(
+            "flops_train", tries=1, cpu=True,
+            extra_env={"BENCH_BATCH": str(best_b)},
+        )
+        if fl and fl.get("flops_per_frame"):
+            tflops = float(train_fps) * fl["flops_per_frame"] / 1e12
+            result["flops_per_frame"] = round(fl["flops_per_frame"])
+            result["tflops"] = round(tflops, 2)
+            result["mfu"] = round(tflops / PEAK_BF16_TFLOPS, 4)
+            result["peak_tflops_bf16"] = PEAK_BF16_TFLOPS
     result["torch_threads"] = cache.get("torch_threads")
     print(json.dumps(result))
 
