@@ -15,6 +15,7 @@ policy variables; each test asserts end-to-end forward parity <= 1e-4.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as tF
@@ -533,3 +534,124 @@ def test_convert_torch_checkpoint_dispatch(tmp_path, rng):
     kind2, cv = ckpt_lib.convert_torch_checkpoint(p2, blocks=BLOCKS)
     assert kind2 == "cma"
     assert "second_state_encoder" in cv["params"]
+
+
+# -- full production scale ------------------------------------------------------
+
+def _production_bert():
+    """bert-base-uncased shape (seq2seq_highlevel_cma.py:45): 12 layers,
+    h=768, 12 heads, ff=3072, vocab 30522 — random init, real layout."""
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(
+        vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512, type_vocab_size=2,
+    )
+    return BertModel(cfg).eval()
+
+
+@pytest.mark.slow
+def test_full_scale_converter_smoke(tmp_path, rng, monkeypatch):
+    """Round-trip a PRODUCTION-shaped reference checkpoint (the real
+    `HCM_Agent.pth` layout, README.md:251-255): ResNet50 [3,4,6,3] trunks x2
+    per module, BERT-base-12, h=512 — ~177M params, ~700 MB on disk — through
+    convert_torch_checkpoint and one full-scale forward parity check.
+
+    The reduced-scale tests above pin the math; this pins the exact
+    Sequential-index/key handling at real depths (VERDICT r3 next #7).  The
+    torch mirrors are reused with their dimension globals patched to the
+    production values (config/default.py MODEL defaults):
+    depth DDPPO ResNet50 @256px -> (32, 8, 8) spatial (+64-dim embeddings),
+    rgb TorchVision ResNet50 @224px -> (2048, 4, 4) pooled (+64)."""
+    import sys
+
+    # patch the module object the mirror classes actually read their globals
+    # from (pytest may import this file under a different module identity
+    # than `tests.test_checkpoint_convert`)
+    M = sys.modules[TorchHighLevelCMA.__module__]
+
+    for k, v in dict(
+        BERT_H=768, VLA_D=256, VLA_H=4, VLA_FF=1024, VIS_IN=256,
+        OUT_D=128, OUT_R=256, H_STATE=512, BLOCKS=(3, 4, 6, 3),
+        DEPTH_S=64, DEPTH_C=32 + 64, RGB_C=2048 + 64,
+    ).items():
+        monkeypatch.setattr(M, k, v)
+    monkeypatch.setattr(M, "tiny_bert", _production_bert)
+
+    torch.manual_seed(0)
+    thigh = TorchHighLevelCMA().eval()
+    tlow = TorchLowLevel().eval()
+    n_params = sum(p.numel() for p in thigh.parameters()) + sum(
+        p.numel() for p in tlow.parameters()
+    )
+    assert 150e6 < n_params < 210e6, f"unexpected total params {n_params}"
+
+    path = str(tmp_path / "HCM_Agent_shape.pth")
+    torch.save(
+        {
+            "high_level_state_dict": thigh.state_dict(),
+            "low_level_state_dict": tlow.state_dict(),
+            "config": {},
+        },
+        path,
+    )
+    import os
+
+    size_mb = os.path.getsize(path) / 1e6
+    assert size_mb > 500, f"checkpoint only {size_mb:.0f} MB — not full scale"
+
+    T, L = 2, 24
+    rgb = rng.integers(0, 255, (T, 224, 224, 3)).astype(np.float32)
+    depth = rng.random((T, 256, 256, 1)).astype(np.float32)
+    instruction = rng.integers(1, 30522, (1, L))
+    instruction[0, 16:] = 0
+    masks = np.ones(T, np.float32)
+    masks[0] = 0.0
+    discrete = rng.integers(0, 5, (T,))
+
+    with torch.no_grad():
+        logits_ref = thigh(
+            torch.from_numpy(rgb), torch.from_numpy(depth),
+            torch.from_numpy(instruction), torch.from_numpy(masks),
+        ).numpy()
+        act_ref, stop_ref = tlow(
+            torch.from_numpy(rgb), torch.from_numpy(depth),
+            torch.from_numpy(discrete), torch.from_numpy(masks),
+        )
+        act_ref, stop_ref = act_ref.numpy(), stop_ref.numpy()
+    del thigh, tlow
+
+    kind, (high_vars, low_vars) = ckpt_lib.convert_torch_checkpoint(
+        path, blocks=(3, 4, 6, 3)
+    )
+    assert kind == "hierarchical"
+
+    from robo_vln_tpu.config.default import get_config
+    from robo_vln_tpu.models.hierarchical import HighLevelPolicy, LowLevelPolicy
+
+    cfg = get_config().clone().defrost()
+    mc = cfg.MODEL
+    mc.INSTRUCTION_ENCODER.use_pretrained_embeddings = False
+    high = HighLevelPolicy(model_config=mc)
+    low = LowLevelPolicy(model_config=mc)
+    obs = {
+        "rgb": jnp.asarray(rgb)[None],
+        "depth": jnp.asarray(depth)[None],
+        "instruction": jnp.asarray(instruction),
+        "progress": jnp.zeros((1, T)),
+    }
+    m = jnp.asarray(masks)[None]
+    logits, _ = high.apply(
+        high_vars, obs, high.initial_hidden(1), jnp.zeros((1, T, 2)), m
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits)[0], logits_ref, atol=2e-3,
+        err_msg="high-level sub-goal logits diverge at production scale",
+    )
+    act, stop, _ = low.apply(
+        low_vars, obs, low.initial_hidden(1), jnp.zeros((1, T, 2)), m,
+        jnp.asarray(discrete)[None],
+    )
+    np.testing.assert_allclose(np.asarray(act)[0], act_ref, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(stop)[0], stop_ref, atol=2e-3)
