@@ -92,12 +92,26 @@ def build_buffer(path, n_eps, t, legacy_f64=False, seed=0, features=False):
         store.flush()
 
 
-def measure_loader_fps(path, batch_size, t, n_eps, warm_batches=1):
-    """Steady-state decode+collate frames/s over one full pass."""
-    ds = TrajectoryDataset(path, batch_size=batch_size, is_bert=True)
-    it = batch_iterator(ds, batch_size, buckets=[t], max_instruction_len=INSTR_LEN)
+def measure_loader_fps(path, batch_size, t, n_eps, warm_batches=1,
+                       workers=0):
+    """Steady-state decode+collate frames/s over one full pass.
+
+    workers>1 measures the process-parallel shared-memory loader
+    (data/parallel_loader.py, DAGGER.LOADER_WORKERS)."""
+    if workers > 1:
+        from robo_vln_tpu.data.parallel_loader import parallel_batch_iterator
+
+        it = parallel_batch_iterator(
+            path, batch_size, [t], INSTR_LEN, num_workers=workers,
+            is_bert=True,
+        )
+    else:
+        ds = TrajectoryDataset(path, batch_size=batch_size, is_bert=True)
+        it = batch_iterator(
+            ds, batch_size, buckets=[t], max_instruction_len=INSTR_LEN
+        )
     frames = 0
-    for _ in range(warm_batches):  # absorb open/seek costs
+    for _ in range(warm_batches):  # absorb open/seek + worker-spawn costs
         next(it)
     t0 = time.perf_counter()
     n_batches = 0
@@ -119,6 +133,9 @@ def main():
     ap.add_argument("--episodes", type=int, default=16)
     ap.add_argument("--t", type=int, default=100)
     ap.add_argument("--legacy-episodes", type=int, default=2)
+    ap.add_argument("--workers", type=int, default=0,
+                    help=">1: also measure the process-parallel loader "
+                         "(data/parallel_loader.py) at that worker count")
     ap.add_argument("--device-fps", type=float, default=2183.6,
                     help="IL train-step device rate to compare (BENCH_r02)")
     args = ap.parse_args()
@@ -160,6 +177,21 @@ def main():
                 "value": round(ffps, 1), "unit": "frames/s",
                 "frames": fframes, "seconds": round(fdt, 2),
             }))
+
+        if args.workers > 1:
+            for which, bs in (("buf", 8), ("feat", 16)):
+                pfps, pframes, pdt = measure_loader_fps(
+                    f"{tmp}/{which}", bs, args.t, args.episodes,
+                    warm_batches=1, workers=args.workers,
+                )
+                out[f"parallel_{which}_fps_b{bs}"] = round(pfps, 1)
+                print(json.dumps({
+                    "metric": f"parallel({args.workers}w) "
+                              f"{'feature-store ' if which == 'feat' else ''}"
+                              f"loader B={bs} T={args.t}",
+                    "value": round(pfps, 1), "unit": "frames/s",
+                    "frames": pframes, "seconds": round(pdt, 2),
+                }))
 
         build_buffer(f"{tmp}/legacy", args.legacy_episodes, args.t,
                      legacy_f64=True, seed=1)

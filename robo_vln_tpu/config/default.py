@@ -125,6 +125,11 @@ _C.DAGGER.INTER_MODULE_ATTN = False
 _C.DAGGER.LMDB_COMMIT_FREQUENCY = 500
 _C.DAGGER.LMDB_STORE_FREQUENCY = 5
 _C.DAGGER.USE_IW = True
+# >1: decode+collate in that many worker PROCESSES shipping batches through
+# shared memory (data/parallel_loader.py) — the multi-core answer to the
+# reference's single-worker DataLoader (robo_vln_trainer.py:919-927).
+# 0/1 keeps the in-process loader; batch order depends on the worker count.
+_C.DAGGER.LOADER_WORKERS = 0
 _C.DAGGER.PRELOAD_LMDB_FEATURES = False
 # with PRELOAD=False: collect inside the DAgger loop then CONTINUE into
 # training (one-command workflow). COLLECT_ONLY=True reproduces the

@@ -107,6 +107,7 @@ class TrajectoryDataset:
         use_iw: bool = True,
         inflection_weight_coef: float = 1.0,
         seed: int = 0,
+        indices: Optional[Sequence[int]] = None,
     ):
         self.features_dir = features_dir
         self.batch_size = batch_size
@@ -116,8 +117,13 @@ class TrajectoryDataset:
             [1.0, inflection_weight_coef if use_iw else 1.0], np.float32
         )
         self._rng = random.Random(seed)
-        with TrajectoryStore(features_dir) as store:
-            self.length = len(store)
+        if indices is None:
+            with TrajectoryStore(features_dir) as store:
+                indices = range(len(store))
+        # episode-key subset: the process-parallel loader gives each worker a
+        # disjoint round-robin shard (data/parallel_loader.py)
+        self.indices = list(indices)
+        self.length = len(self.indices)
 
     def _decode(self, raw):
         """Decode one packed episode (bytes or uint8 buffer, either wire
@@ -159,7 +165,7 @@ class TrajectoryDataset:
         return out, prev_actions, oracle_actions, oracle_stop
 
     def __iter__(self) -> Iterator:
-        order = block_shuffle(list(range(self.length)), self.preload_size, self._rng)
+        order = block_shuffle(list(self.indices), self.preload_size, self._rng)
         order = list(reversed(order))
         store = TrajectoryStore(self.features_dir)
         try:
@@ -182,18 +188,31 @@ class TrajectoryDataset:
             store.close()
 
 
+def _empty_alloc(key: str, shape, dtype) -> np.ndarray:
+    del key
+    return np.empty(shape, dtype)
+
+
 def collate_batch(
     samples: List,
     buckets: Sequence[int],
     max_instruction_len: int = 200,
     pad_to_batch: Optional[int] = None,
+    alloc=_empty_alloc,
 ) -> Dict[str, np.ndarray]:
     """Pad a list of decoded episodes into one static-shape batch-major batch.
 
     `pad_to_batch` pads the BATCH axis with empty episodes (valid_mask=0,
     corrected_actions=0, oracle_stop=-1, oracle sub-goal 0) so tail batches
     keep the compiled shape on a full device mesh; every loss masks them out
-    (ops/losses.py)."""
+    (ops/losses.py).
+
+    `alloc(key, shape, dtype)` provides the destination arrays for the LARGE
+    per-step tensors (frames/features + instruction_embedding) — the
+    process-parallel loader passes a shared-memory allocator so workers
+    collate straight into the segment the trainer reads.  Only the padding
+    tail is zeroed (the real rows are fully overwritten), which saves a full
+    memset pass over the dominant arrays on the hot path."""
     B = max(len(samples), pad_to_batch or 0)
     T = pick_bucket(max(len(s[1]) for s in samples), buckets)
     L = max_instruction_len
@@ -207,10 +226,15 @@ def collate_batch(
     for k in sensor_keys:
         arr0 = np.asarray(obs0[k])
         shape = (B, T) + arr0.shape[1:]
-        out = np.zeros(shape, SENSOR_DTYPES.get(k, np.float32))
+        out = alloc(k, shape, SENSOR_DTYPES.get(k, np.float32))
         for b, s in enumerate(samples):
             v = np.asarray(s[0][k])
-            out[b, : len(v)] = v[:T]  # cast-on-assign for legacy f64 buffers
+            n = min(len(v), T)
+            out[b, :n] = v[:T]  # cast-on-assign for legacy f64 buffers
+            if n < T:
+                out[b, n:] = 0
+        if len(samples) < B:
+            out[len(samples):] = 0
         batch[k] = out
 
     instruction = np.zeros((B, L), np.int32)
@@ -221,10 +245,14 @@ def collate_batch(
 
     if "instruction_embedding" in obs0:
         D = np.asarray(obs0["instruction_embedding"]).shape[-1]
-        emb = np.zeros((B, L, D), np.float16)
+        emb = alloc("instruction_embedding", (B, L, D), np.float16)
         for b, s in enumerate(samples):
             e = np.asarray(s[0]["instruction_embedding"])[:L]
             emb[b, : len(e)] = e
+            if len(e) < L:
+                emb[b, len(e):] = 0
+        if len(samples) < B:
+            emb[len(samples):] = 0
         batch["instruction_embedding"] = emb
 
     prev_actions = np.zeros((B, T, 2), np.float32)

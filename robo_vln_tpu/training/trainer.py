@@ -281,6 +281,22 @@ class RoboVLNTrainer(BaseTrainer):
     # -- epochs ---------------------------------------------------------------
     def _batches(self, features_dir: str, seed: int) -> Iterator[Dict]:
         cfg = self.config
+        if int(cfg.DAGGER.LOADER_WORKERS) > 1:
+            from robo_vln_tpu.data.parallel_loader import (
+                parallel_batch_iterator,
+            )
+
+            return parallel_batch_iterator(
+                features_dir,
+                self.global_batch,
+                list(cfg.DAGGER.EPISODE_LEN_BUCKETS),
+                cfg.DAGGER.MAX_INSTRUCTION_LEN,
+                num_workers=int(cfg.DAGGER.LOADER_WORKERS),
+                seed=seed,
+                is_bert=cfg.MODEL.INSTRUCTION_ENCODER.is_bert,
+                use_iw=cfg.DAGGER.USE_IW,
+                inflection_weight_coef=cfg.MODEL.inflection_weight_coef,
+            )
         dataset = TrajectoryDataset(
             features_dir,
             batch_size=self.global_batch,
