@@ -212,6 +212,10 @@ def stage_train():
 def stage_eval():
     split = os.environ["CS_SPLIT"]
     shuffled = bool(int(os.environ.get("CS_SHUFFLE", "0")))
+    # CS_HOST=1: cross-check the final checkpoint on the float64 HOST driver
+    # (EVAL.ON_DEVICE=0) — bounds the on-device float32-sim caveat with a
+    # committed side-by-side row instead of a disclaimer
+    host_check = bool(int(os.environ.get("CS_HOST", "0")))
     cfg = build_config(data_dir())
     if MODELS[MODEL][1] == "hier":
         from robo_vln_tpu.eval.evaluator import (
@@ -226,6 +230,8 @@ def stage_eval():
     # episode's instruction) — recorded under its own row label so the
     # committed table shows grounded-vs-control side by side
     row_split = f"{split}_shuffled" if shuffled else split
+    if host_check:
+        row_split += "_host"
     rows_path = os.path.join(OUT, f"convergence_{row_split}.jsonl")
     done = set()
     if os.path.exists(rows_path):
@@ -235,9 +241,13 @@ def stage_eval():
     ecfg = cfg.clone().defrost()
     ecfg.EVAL.SPLIT = split
     ecfg.EVAL.SHUFFLE_INSTRUCTIONS = shuffled
+    if host_check:
+        ecfg.EVAL.ON_DEVICE = False
     ecfg.freeze()
     trainer = trainer_class()(ecfg)
     picked = pick_checkpoints(ckpt_names())
+    if host_check and picked:
+        picked = picked[-1:]  # final checkpoint only: a parity row, not a curve
     with open(rows_path, "a") as rf:
         for idx, name in enumerate(picked):
             if name in done:
@@ -313,10 +323,18 @@ def orchestrate():
     # language-grounding control: val_unseen with rotated instructions —
     # grounded policies must collapse toward the nonlearning baseline here
     run_stage("eval", CS_SPLIT="val_unseen", CS_SHUFFLE="1")
+    if ON_DEVICE:
+        # float64 host-driver cross-check of the final checkpoint (the main
+        # curve rides the fused on-device evaluator)
+        run_stage("eval", CS_SPLIT="val_unseen", CS_HOST="1")
 
     rows = []
-    for split in ("val_seen", "val_unseen", "val_unseen_shuffled"):
-        with open(os.path.join(OUT, f"convergence_{split}.jsonl")) as f:
+    for split in ("val_seen", "val_unseen", "val_unseen_shuffled",
+                  "val_unseen_host"):
+        path = os.path.join(OUT, f"convergence_{split}.jsonl")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
             rows += [json.loads(l) for l in f if l.strip()]
     with open(os.path.join(OUT, "convergence.jsonl"), "w") as f:
         for r in rows:
