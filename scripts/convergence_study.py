@@ -271,6 +271,34 @@ def stage_eval():
             print(f"[eval] {row}", flush=True)
 
 
+def stage_nonlearning():
+    """Reference point for the grounding control: the RandomAgent baseline on
+    the SAME split/thresholds.  A grounded policy's shuffled-instruction
+    metrics should collapse toward this row (reference
+    nonlearning_agents.py:150-165)."""
+    split = os.environ.get("CS_SPLIT", "val_unseen")
+    cfg = build_config(data_dir()).clone().defrost()
+    cfg.EVAL.SPLIT = split
+    cfg.EVAL.EVAL_NONLEARNING = True
+    cfg.EVAL.NONLEARNING.AGENT = os.environ.get("CS_AGENT", "RandomAgent")
+    cfg.TASK_CONFIG.DATASET.SPLIT = split
+    cfg.freeze()
+    from robo_vln_tpu.agents.nonlearning import evaluate_agent
+
+    stats = evaluate_agent(cfg)
+    row = {
+        "model": f"nonlearning_{cfg.EVAL.NONLEARNING.AGENT}",
+        "split": split,
+        "ckpt": "-",
+        "epoch": -1,
+        **{k: round(float(v), 4) for k, v in stats.items()
+           if isinstance(v, (int, float))},
+    }
+    with open(os.path.join(OUT, "convergence_nonlearning.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(f"[nonlearning] {row}", flush=True)
+
+
 # ---------------------------------------------------------------------------
 # orchestrator (jax-free: one TPU client at a time)
 # ---------------------------------------------------------------------------
@@ -327,10 +355,12 @@ def orchestrate():
         # float64 host-driver cross-check of the final checkpoint (the main
         # curve rides the fused on-device evaluator)
         run_stage("eval", CS_SPLIT="val_unseen", CS_HOST="1")
+    # random-agent reference row for the grounding control
+    run_stage("nonlearning", CS_SPLIT="val_unseen")
 
     rows = []
     for split in ("val_seen", "val_unseen", "val_unseen_shuffled",
-                  "val_unseen_host"):
+                  "val_unseen_host", "nonlearning"):
         path = os.path.join(OUT, f"convergence_{split}.jsonl")
         if not os.path.exists(path):
             continue
@@ -366,6 +396,8 @@ if __name__ == "__main__":
         stage_train()
     elif stage == "eval":
         stage_eval()
+    elif stage == "nonlearning":
+        stage_nonlearning()
     elif stage:
         raise SystemExit(f"unknown CS_STAGE {stage!r}")
     else:

@@ -199,3 +199,46 @@ def test_cyclic_lr_custom_schedule():
     assert cyclic_triangular_lr(12, 1e-5, 1e-4, 4, 16) == pytest.approx(
         1e-5 + (1e-4 - 1e-5) * 0.5
     )
+
+
+def test_convergence_study_nonlearning_stage(tmp_path, monkeypatch):
+    """stage_nonlearning writes the RandomAgent reference row (the grounding
+    control's collapse target) with the study's row schema."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "convergence_study_nl",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "convergence_study.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.OUT = str(tmp_path)
+    monkeypatch.setenv("CS_SPLIT", "val_unseen")
+
+    class _Cfg:
+        pass
+
+    def fake_build_config(data_dir):
+        from robo_vln_tpu.config.default import get_config
+
+        cfg = get_config().clone().defrost()
+        cfg.freeze()
+        return cfg
+
+    stats = {"success": 0.1, "spl": 0.05, "ndtw": 0.2, "steps": 50}
+    mod.build_config = fake_build_config
+    import robo_vln_tpu.agents.nonlearning as nl
+
+    monkeypatch.setattr(nl, "evaluate_agent", lambda cfg: stats)
+    mod.stage_nonlearning()
+
+    rows = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "convergence_nonlearning.jsonl"))]
+    assert rows == [{
+        "model": "nonlearning_RandomAgent", "split": "val_unseen",
+        "ckpt": "-", "epoch": -1,
+        "success": 0.1, "spl": 0.05, "ndtw": 0.2, "steps": 50,
+    }]
