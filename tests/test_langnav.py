@@ -242,3 +242,52 @@ def test_convergence_study_nonlearning_stage(tmp_path, monkeypatch):
         "ckpt": "-", "epoch": -1,
         "success": 0.1, "spl": 0.05, "ndtw": 0.2, "steps": 50,
     }]
+
+
+def test_collect_study_results_report(tmp_path):
+    """Cross-model report: merged tables, learning deltas, grounding-control
+    and host-check sections from per-study jsonl files."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    d = tmp_path / "hcm"
+    os.makedirs(d)
+    rows = {
+        "convergence_val_unseen.jsonl": [
+            {"model": "hcm", "split": "val_unseen", "epoch": 0,
+             "success": 0.0, "spl": 0.0, "ndtw": 0.2},
+            {"model": "hcm", "split": "val_unseen", "epoch": 8,
+             "success": 0.5, "spl": 0.4, "ndtw": 0.7},
+        ],
+        "convergence_val_unseen_shuffled.jsonl": [
+            {"model": "hcm", "split": "val_unseen_shuffled", "epoch": 8,
+             "success": 0.1, "spl": 0.05, "ndtw": 0.3},
+        ],
+        "convergence_val_unseen_host.jsonl": [
+            {"model": "hcm", "split": "val_unseen_host", "epoch": 8,
+             "success": 0.5, "spl": 0.39, "ndtw": 0.69},
+        ],
+        "convergence_nonlearning.jsonl": [
+            {"model": "nonlearning_RandomAgent", "split": "val_unseen",
+             "epoch": -1, "success": 0.05, "spl": 0.02, "ndtw": 0.15},
+        ],
+    }
+    for name, rws in rows.items():
+        with open(d / name, "w") as f:
+            for r in rws:
+                f.write(json.dumps(r) + "\n")
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/collect_study_results.py", str(d)],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        stdout=subprocess.PIPE, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stdout
+    out = proc.stdout
+    assert "| hcm | 0.0 -> 0.5 | 0.0 -> 0.4 | 0.2 -> 0.7 |" in out
+    assert "| hcm | shuffled instructions | 0.1 | 0.05 | 0.3 |" in out
+    assert "| nonlearning_RandomAgent | random baseline | 0.05 |" in out
+    assert "host f64 driver | 0.5 | 0.39 | 0.69" in out
+    assert "Full per-epoch table" in out
