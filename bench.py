@@ -449,6 +449,13 @@ def main():
     if feat_fps is not None:
         # feature-store training mode (DAGGER.PRELOAD_TRUNK_FEATURES)
         result["feature_train_fps"] = round(float(feat_fps), 2)
+        # feature mode has no conv activations, so the per-chip batch can
+        # grow to amortize the sequential LSTM latency — record the big-batch
+        # point too (r3 measured ~1.5x from B=4 to B=16)
+        feat16 = _measure_fps("train_feat", tries=1,
+                              extra_env={"BENCH_BATCH": "16"})
+        if feat16 is not None:
+            result["feature_train_fps_b16"] = round(float(feat16), 2)
     # hardware efficiency of the headline train config: analytic FLOPs from
     # HLO cost analysis (CPU-pinned lowering) x measured rate / chip peak
     if train_fps is not None:
