@@ -18,12 +18,13 @@ stream is deterministic for a fixed (seed, num_workers) — changing
 num_workers changes batch order, exactly like a torch DataLoader.
 """
 
+import atexit
 import functools
 import multiprocessing as mp
 import queue as queue_mod
 import weakref
 from multiprocessing import shared_memory
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 
@@ -292,8 +293,6 @@ def _close_deferred_at_exit() -> None:
         except BufferError:
             pass
 
-
-import atexit  # noqa: E402  (registration belongs next to its target)
 
 atexit.register(_close_deferred_at_exit)
 
