@@ -56,6 +56,13 @@ _C.TPU.SHARE_FROZEN_TRUNKS = True
 # policy setup (models.sync_frozen_trunks) — random-init smokes/studies only;
 # real pretrained files already make them identical
 _C.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = False
+# EXPLICIT DEVIATION (default off): apply MODEL.inflection_weight_coef to the
+# high-level sub-goal CE (ops/losses.inflection_weights).  The reference
+# computes inflec_weights and never uses them (hierarchical_trainer.py:183,
+# robo_vln_trainer.py:195 — PARITY.md preserved no-op); this flag turns the
+# shipped-but-dead coefficient into habitat-style IW loss weighting.
+# Gated on DAGGER.USE_IW too, matching the key that promises the behavior.
+_C.TPU.APPLY_INFLECTION_WEIGHTS = False
 # fused attention kernel (ops/pallas_attention.py): parity-tested but measured
 # SLOWER than XLA at HCM shapes on v5e (N=200,L=200,S=16,h=4: 960us vs 149us —
 # the op is too small; XLA's batched dot_general wins), so off by default

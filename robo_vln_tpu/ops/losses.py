@@ -46,11 +46,18 @@ def masked_stop_bce(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def subgoal_cross_entropy(
     logits: jnp.ndarray,  # (N, C)
     oracle_actions: jnp.ndarray,  # (N,) raw sensor values; 0 = ignore
+    weights: jnp.ndarray | None = None,  # (N,) per-step loss weights
 ) -> jnp.ndarray:
     """CrossEntropyLoss(ignore_index=-1) over labels = oracle_actions - 1 with
     logits rows zeroed where oracle_actions == 0 (matching the masked_fill in
     hierarchical_trainer.py:508-509 — the zeroed rows are then dropped by
-    ignore_index so the fill only affects what the reference computes too)."""
+    ignore_index so the fill only affects what the reference computes too).
+
+    weights: optional per-step inflection weights (see inflection_weights);
+    the reduction becomes sum(w*nll)/sum(w over non-ignored) — torch
+    CrossEntropyLoss(weight=..) / habitat IW semantics.  weights=None keeps
+    the reference's unweighted mean (the production default: the reference
+    computes inflec_weights and never applies them, see PARITY.md)."""
     ignore = oracle_actions == 0
     labels = oracle_actions.astype(jnp.int32) - 1
     logits = jnp.where(ignore[:, None], 0.0, logits)
@@ -58,8 +65,32 @@ def subgoal_cross_entropy(
     safe_labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
     nll = -jnp.take_along_axis(logz, safe_labels[:, None], axis=-1)[:, 0]
     nll = jnp.where(ignore, 0.0, nll)
-    denom = jnp.maximum(jnp.sum(~ignore), 1)
+    if weights is not None:
+        nll = nll * weights
+        denom = jnp.maximum(jnp.sum(jnp.where(ignore, 0.0, weights)), 1e-6)
+    else:
+        denom = jnp.maximum(jnp.sum(~ignore), 1)
     return jnp.sum(nll) / denom
+
+
+def inflection_weights(oracle_actions: jnp.ndarray,  # (B, T) sensor values
+                       coef: float) -> jnp.ndarray:
+    """Per-step inflection weights over a (B, T) oracle-action window:
+    weight = coef where the action differs from the previous step's (the
+    window-initial step counts as an inflection), else 1.0.
+
+    Habitat's IW recipe (vln-ce il_trainer: ``inflections = cat([1],
+    actions[1:] != actions[:-1]); weights = inflec_weights[inflections]``)
+    computed per full episode; here the window-initial inflection applies per
+    TBPTT window (data/loader.py split_tbptt), which up-weights at most one
+    extra step per window.  Only used behind TPU.APPLY_INFLECTION_WEIGHTS —
+    the reference ships the coefficient but never applies it
+    (hierarchical_trainer.py:183 / robo_vln_trainer.py:195, preserved no-op)."""
+    prev = jnp.concatenate(
+        [jnp.full_like(oracle_actions[:, :1], -1), oracle_actions[:, :-1]],
+        axis=1,
+    )
+    return jnp.where(oracle_actions != prev, float(coef), 1.0)
 
 
 def progress_monitor_mse(

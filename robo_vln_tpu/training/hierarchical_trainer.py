@@ -132,9 +132,17 @@ class HierarchicalTrainer(BaseTrainer):
         high_b = _bind(self.high, self._high_extra)
         low_b = _bind(self.low, self._low_extra)
         trunk_fn = self._maybe_trunk_fn()
+        # opt-in IW deviation: the reference computes inflection weights and
+        # never applies them (PARITY.md); both keys must agree to activate
+        iw_coef = (
+            cfg.MODEL.inflection_weight_coef
+            if cfg.TPU.APPLY_INFLECTION_WEIGHTS and cfg.DAGGER.USE_IW
+            else None
+        )
         self.train_step = steps_lib.make_hier_train_step(
             high_b, low_b, self.tx_high, self.tx_low, self.mesh,
             donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT, trunk_fn=trunk_fn,
+            inflection_coef=iw_coef,
         )
         self.val_step = steps_lib.make_hier_val_step(
             high_b, low_b, trunk_fn=trunk_fn

@@ -166,7 +166,8 @@ def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0):
 
 
 def _hier_losses(high, low, high_params, low_params, batch,
-                 high_hidden, low_hidden, dropout_rng=None, trunk_fn=None):
+                 high_hidden, low_hidden, dropout_rng=None, trunk_fn=None,
+                 inflection_coef=None):
     obs = {
         k: batch[k]
         for k in batch
@@ -193,7 +194,15 @@ def _hier_losses(high, low, high_params, low_params, batch,
         {"params": high_params}, obs, high_hidden, batch["prev_actions"],
         batch["not_done_masks"], **kwargs,
     )
-    hl_loss = losses.subgoal_cross_entropy(logits.reshape(-1, 4), oracle_flat)
+    # opt-in deviation (TPU.APPLY_INFLECTION_WEIGHTS): up-weight sub-goal
+    # transitions in the CE — the reference computes these weights but never
+    # applies them (PARITY.md preserved no-op)
+    iw = (losses.inflection_weights(
+              oracle.reshape(b, t), inflection_coef).reshape(-1)
+          if inflection_coef is not None else None)
+    hl_loss = losses.subgoal_cross_entropy(
+        logits.reshape(-1, 4), oracle_flat, weights=iw
+    )
 
     # low level consumes oracle sub-goals: (sensor-1), pad 0 -> index 4
     disc = jnp.where(oracle_flat == 0, 4, oracle_flat - 1).reshape(b, t)
@@ -217,15 +226,19 @@ def _hier_losses(high, low, high_params, low_params, batch,
 
 
 def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
-                         remat=False, trunk_fn=None):
+                         remat=False, trunk_fn=None, inflection_coef=None):
     """One program, two optimizers (AdamW high / Adam low), two LRs.
 
     remat=True (TPU.REMAT): rematerialize the forward in the backward pass
     (see make_flat_train_step).
     trunk_fn: shared frozen-trunk forward (TPU.SHARE_FROZEN_TRUNKS) — halves
-    the dominant ResNet FLOPs when both policies hold identical trunks."""
+    the dominant ResNet FLOPs when both policies hold identical trunks.
+    inflection_coef: when set (TPU.APPLY_INFLECTION_WEIGHTS), the high-level
+    CE is inflection-weighted (ops/losses.inflection_weights) — an explicit
+    deviation from the reference, which never applies its computed weights."""
 
-    losses_fn = functools.partial(_hier_losses, high, low, trunk_fn=trunk_fn)
+    losses_fn = functools.partial(_hier_losses, high, low, trunk_fn=trunk_fn,
+                                  inflection_coef=inflection_coef)
     if remat:
         losses_fn = jax.checkpoint(losses_fn)
 

@@ -57,6 +57,51 @@ def test_subgoal_cross_entropy(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+def test_subgoal_ce_inflection_weighted(rng):
+    """Weighted CE = torch sum(w*nll)/sum(w over non-ignored) (habitat IW
+    reduction); coef=1 weights reduce to the unweighted reference mean."""
+    N, C = 40, 4
+    logits = rng.standard_normal((N, C)).astype(np.float32)
+    oracle = rng.integers(0, 5, size=(N,))
+    w = rng.random(N).astype(np.float32) + 0.5
+
+    lt = torch.from_numpy(logits.copy())
+    ot = torch.from_numpy(oracle)
+    lt = lt.masked_fill_((ot == 0).unsqueeze(1), 0)
+    nll = nn.CrossEntropyLoss(ignore_index=-1, reduction="none")(
+        lt, ot.long() - 1
+    )
+    keep = ot != 0
+    wt = torch.from_numpy(w)
+    ref = (nll * wt)[keep].sum().item() / wt[keep].sum().item()
+
+    got = float(losses.subgoal_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(oracle), weights=jnp.asarray(w)
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    ones = jnp.ones((N,), jnp.float32)
+    np.testing.assert_allclose(
+        float(losses.subgoal_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(oracle), weights=ones
+        )),
+        float(losses.subgoal_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(oracle)
+        )),
+        rtol=1e-6,
+    )
+
+
+def test_inflection_weights():
+    """Window-initial step + every action change get the coefficient."""
+    oracle = jnp.asarray([[2, 2, 3, 3, 3, 1],
+                          [1, 1, 1, 1, 4, 4]], jnp.float32)
+    got = np.asarray(losses.inflection_weights(oracle, 3.2))
+    want = np.array([[3.2, 1.0, 3.2, 1.0, 1.0, 3.2],
+                     [3.2, 1.0, 1.0, 1.0, 3.2, 1.0]], np.float32)
+    np.testing.assert_allclose(got, want)
+
+
 def test_progress_monitor(rng):
     N = 25
     ph = np.tanh(rng.standard_normal(N)).astype(np.float32)

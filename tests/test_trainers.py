@@ -172,6 +172,81 @@ def test_hierarchical_trainer_end_to_end(tmp_path, rng):
     assert np.isfinite(hl).all() and np.isfinite(ll).all()
 
 
+def test_inflection_weight_flag_wires_coef(tmp_path, rng, monkeypatch):
+    """TPU.APPLY_INFLECTION_WEIGHTS=True threads MODEL.inflection_weight_coef
+    into the jitted step; default-off keeps the reference's preserved no-op
+    (PARITY.md: the reference computes inflec_weights and never uses them)."""
+    from robo_vln_tpu.training import steps as steps_lib
+    from robo_vln_tpu.training.hierarchical_trainer import HierarchicalTrainer
+
+    captured = {}
+    orig = steps_lib.make_hier_train_step
+
+    def spy(*a, **k):
+        captured["coef"] = k.get("inflection_coef")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(steps_lib, "make_hier_train_step", spy)
+
+    for flag, want in ((True, 3.2), (False, None)):
+        cfg = tiny_config(
+            tmp_path / str(flag), trainer="hierarchical_trainer",
+            batch_size=1, hw=32,
+        )
+        cfg.MODEL.INSTRUCTION_ENCODER.is_bert = True
+        cfg.TPU.APPLY_INFLECTION_WEIGHTS = flag
+        cfg.freeze()
+        HierarchicalTrainer(cfg)._setup_policy()
+        assert captured["coef"] == want
+
+
+def test_inflection_weighting_changes_hl_loss_only(rng):
+    """With a non-uniform inflection pattern the weighted high-level CE must
+    differ from the unweighted one, while the low-level losses (not touched
+    by IW) stay identical."""
+    import __graft_entry__ as g
+    from robo_vln_tpu.training import steps as steps_lib
+
+    batch, t = 2, 6
+    (cfg, high, low, hparams, lparams, obs, masks, prev, hh, lh) = (
+        g._hcm_setup(rgb_hw=64, depth_hw=64, instr_len=12, batch=batch, t=t,
+                     tiny=True)
+    )
+    h_extra = {k: v for k, v in hparams.items() if k != "params"}
+    l_extra = {k: v for k, v in lparams.items() if k != "params"}
+
+    class _B:
+        def __init__(self, p, e):
+            self._p, self._e = p, e
+
+        def apply(self, variables, *a, **k):
+            return self._p.apply({**self._e, **variables}, *a, **k)
+
+    # mixed transitions: some inflections, some repeats (all-inflection
+    # windows would make the weights uniform and the weighted mean equal)
+    oracle = np.array([[2, 2, 3, 3, 1, 1], [1, 4, 4, 4, 2, 2]], np.float32)
+    batch_data = {
+        **obs,
+        "vln_oracle_action_sensor": jnp.asarray(oracle),
+        "prev_actions": prev,
+        "corrected_actions": jnp.asarray(
+            rng.random((batch, t, 2)), jnp.float32
+        ),
+        "oracle_stop": jnp.asarray(
+            (rng.random((batch, t, 1)) > 0.7).astype(np.float32)
+        ),
+        "not_done_masks": masks,
+        "valid_mask": jnp.ones((batch, t), jnp.float32),
+    }
+    args = (_B(high, h_extra), _B(low, l_extra), hparams["params"],
+            lparams["params"], batch_data, hh, lh)
+    plain = steps_lib._hier_losses(*args)
+    weighted = steps_lib._hier_losses(*args, inflection_coef=3.2)
+    assert abs(float(plain[0]) - float(weighted[0])) > 1e-6
+    np.testing.assert_allclose(float(plain[1]), float(weighted[1]), rtol=1e-6)
+    np.testing.assert_allclose(float(plain[2]), float(weighted[2]), rtol=1e-6)
+
+
 def test_trainer_registry():
     import robo_vln_tpu.training.hierarchical_trainer  # noqa: F401
     import robo_vln_tpu.training.trainer  # noqa: F401
