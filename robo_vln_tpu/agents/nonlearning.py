@@ -19,6 +19,7 @@ from typing import Dict
 import numpy as np
 
 from robo_vln_tpu.envs.env_utils import construct_env
+from robo_vln_tpu.envs.expert import ContinuousPathFollower, track_waypoint
 from robo_vln_tpu.envs.velocity_control import VelocityControl
 from robo_vln_tpu.tasks.dtw import ndtw
 from robo_vln_tpu.utils.logging import logger
@@ -28,10 +29,10 @@ class RandomContinuousAgent:
     def __init__(self, seed: int = 0):
         self._rng = random.Random(seed)
 
-    def reset(self):
+    def reset(self, env=None):
         pass
 
-    def act(self):
+    def act(self, env=None):
         vel = self._rng.random() * 2.0
         omega = (self._rng.random() - 0.5) * 2.0
         return (vel, omega)
@@ -46,14 +47,14 @@ class HandcraftedAgent:
         self._dt = dt
         self.reset()
 
-    def reset(self):
+    def reset(self, env=None):
         turns = int(self._rng.integers(0, int(360 / 15) + 1))
         # each reference turn is 15 deg; at max_turn_speed 1 rad/s
         self._turn_steps = int(np.ceil(turns * np.deg2rad(15) / (1.0 * self._dt)))
         # 37 forward steps x 0.25 m at 1 m/s
         self._fwd_steps = int(np.ceil(37 * 0.25 / (1.0 * self._dt)))
 
-    def act(self):
+    def act(self, env=None):
         if self._turn_steps > 0:
             self._turn_steps -= 1
             return (0.0, 1.0)
@@ -61,6 +62,49 @@ class HandcraftedAgent:
             self._fwd_steps -= 1
             return (1.0, 0.0)
         return (0.0, 0.0)
+
+
+class ExpertAgent:
+    """Replays the collection-time expert (ContinuousPathFollower +
+    track_waypoint, envs/expert.py — reference continuous_path_follower.py)
+    through the SAME closed-loop eval as every learned policy.
+
+    This is the eval pipeline's soundness upper bound: the expert writes the
+    training data, so its closed-loop row bounds what a perfectly-imitating
+    policy could score under these measures/thresholds, and any pipeline bug
+    (obs/sim/measure mismatch) would show up here first.  The reference has
+    no such agent — its expert only runs inside _update_dataset
+    (robo_vln_trainer.py:387-503)."""
+
+    def __init__(self, seed: int = 0, dt: float = 1.0 / 30):
+        self._dt = dt
+        self._follower = None
+        self._vc = VelocityControl()
+
+    def reset(self, env=None):
+        if env is None:
+            return
+        ep = env.habitat_env.current_episode
+        ref_path = list(ep.reference_path) + [ep.goals[0].position]
+        self._follower = ContinuousPathFollower(
+            env.habitat_env._sim, ref_path, waypoint_threshold=0.4
+        )
+        self._vc.linear_velocity = np.zeros(3)
+        self._vc.angular_velocity = np.zeros(3)
+
+    def act(self, env=None):
+        if env is None or self._follower is None:
+            return (0.0, 0.0)
+        self._follower.update_waypoint()
+        state = env.habitat_env._sim.get_agent_state()
+        vel, omega = track_waypoint(
+            self._follower.waypoint, state, self._vc,
+            progress=self._follower.progress, dt=self._dt,
+        )
+        # track_waypoint speaks the sim's -z-forward convention (negative =
+        # forward); the nonlearning eval driver negates actions[0] (reference
+        # nonlearning_agents.py:99), so hand it positive-forward speed
+        return (-vel, omega)
 
 
 def evaluate_agent(config) -> Dict[str, float]:
@@ -73,10 +117,13 @@ def evaluate_agent(config) -> Dict[str, float]:
 
     env = construct_env(config)
     name = config.EVAL.NONLEARNING.AGENT
-    assert name in ("RandomAgent", "HandcraftedAgent"), name
-    agent = (
-        RandomContinuousAgent() if name == "RandomAgent" else HandcraftedAgent()
-    )
+    agents = {
+        "RandomAgent": RandomContinuousAgent,
+        "HandcraftedAgent": HandcraftedAgent,
+        "ExpertAgent": ExpertAgent,
+    }
+    assert name in agents, name
+    agent = agents[name]()
 
     gt_json = {}
     gt_path = config.TASK_CONFIG.TASK.NDTW.GT_PATH.format(split=split)
@@ -88,7 +135,7 @@ def evaluate_agent(config) -> Dict[str, float]:
 
     vc = VelocityControl()
     obs = env.reset()
-    agent.reset()
+    agent.reset(env)
     steps = 0
     stats_episodes = {}
     locations = []
@@ -100,7 +147,7 @@ def evaluate_agent(config) -> Dict[str, float]:
     breaker = _DuplicateBreaker("nonlearning eval")
     while len(stats_episodes) < budget:
         ep = env.habitat_env.current_episode
-        actions = agent.act()
+        actions = agent.act(env)
         vc.linear_velocity = np.array([0, 0, -actions[0]])
         vc.angular_velocity = np.array([0, actions[1], 0])
         obs, _, done, info = env.step(vc)
@@ -124,7 +171,7 @@ def evaluate_agent(config) -> Dict[str, float]:
             locations = []
             steps = 0
             obs = env.reset()
-            agent.reset()
+            agent.reset(env)
 
     env.close()
     aggregated = {}

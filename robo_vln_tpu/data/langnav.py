@@ -100,6 +100,27 @@ def path_length(path: List[List[float]]) -> float:
     return float(np.linalg.norm(np.diff(p, axis=0), axis=1).sum())
 
 
+def densify_path(path: List[List[float]], spacing: float = 0.25
+                 ) -> List[List[float]]:
+    """Resample the waypoint polyline at ~`spacing` m — the ground-truth
+    trajectory for nDTW/SDTW gt files.
+
+    VLN-CE's {split}_gt.json.gz stores the discrete oracle's actual step
+    locations (~0.25 m apart); the reference evaluates its 30 Hz continuous
+    agent paths against those (hierarchical_trainer.py:1086-1135), so the
+    published nDTW scale assumes a gt of this density.  DTW against the raw
+    sparse waypoints instead accumulates one inter-waypoint-scale term per
+    agent step, driving nDTW to ~0 even for a perfect rollout."""
+    p = np.asarray(path, np.float64)
+    out = [p[0]]
+    for a, b in zip(p[:-1], p[1:]):
+        seg = np.linalg.norm(b - a)
+        n = max(int(np.ceil(seg / spacing)), 1)
+        for k in range(1, n + 1):
+            out.append(a + (b - a) * (k / n))
+    return [[float(x) for x in q] for q in out]
+
+
 def make_episode(
     episode_id: str, scene_id: str, program: Program,
     goal_radius: float = 1.0,
@@ -177,6 +198,16 @@ def generate_splits(
             json.dump(
                 {"episodes": eps,
                  "instruction_vocab": {"word_list": ["<pad>"] + VOCAB}},
+                f,
+            )
+        # VLN-CE-style dense ground-truth trajectories for nDTW/SDTW
+        # (TASK.NDTW.GT_PATH); see densify_path for why density matters
+        with gzip.open(os.path.join(d, f"{split}_gt.json.gz"), "wt") as f:
+            json.dump(
+                {e["episode_id"]: {
+                    "locations": densify_path(e["reference_path"]),
+                    "actions": [],
+                 } for e in eps},
                 f,
             )
         paths[split] = path

@@ -89,6 +89,12 @@ def build_config(data_dir: str):
     tc = cfg.TASK_CONFIG
     tc.SIMULATOR.TYPE = "kinematic"
     tc.DATASET.DATA_PATH = os.path.join(data_dir, "{split}", "{split}.json.gz")
+    # dense LangNav ground-truth trajectories (VLN-CE gt layout) — without
+    # them nDTW falls back to the sparse waypoint polyline and reads ~0 even
+    # for perfect rollouts (data/langnav.densify_path)
+    gt = os.path.join(data_dir, "{split}", "{split}_gt.json.gz")
+    tc.TASK.NDTW.GT_PATH = gt
+    tc.TASK.SDTW.GT_PATH = gt
     tc.DATASET.SPLIT = "train"
     tc.ENVIRONMENT.MAX_EPISODE_STEPS = MAX_STEPS
     tc.SIMULATOR.RGB_SENSOR.WIDTH = tc.SIMULATOR.RGB_SENSOR.HEIGHT = RGB
@@ -357,6 +363,9 @@ def orchestrate():
         run_stage("eval", CS_SPLIT="val_unseen", CS_HOST="1")
     # random-agent reference row for the grounding control
     run_stage("nonlearning", CS_SPLIT="val_unseen")
+    # expert upper-bound row: the data-generating policy through the same
+    # closed-loop driver/thresholds — bounds what perfect imitation could score
+    run_stage("nonlearning", CS_SPLIT="val_unseen", CS_AGENT="ExpertAgent")
 
     rows = []
     for split in ("val_seen", "val_unseen", "val_unseen_shuffled",
