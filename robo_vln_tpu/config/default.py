@@ -63,6 +63,15 @@ _C.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = False
 # shipped-but-dead coefficient into habitat-style IW loss weighting.
 # Gated on DAGGER.USE_IW too, matching the key that promises the behavior.
 _C.TPU.APPLY_INFLECTION_WEIGHTS = False
+# EXPLICIT DEVIATION (default off): mask the velocity MSE by per-step
+# VALIDITY instead of the reference's target != 0 fill
+# (robo_vln_trainer.py:521-527, ops/losses.masked_velocity_mse).  The
+# reference quirk silently drops any velocity component whose label is
+# exactly 0.0; with a synthetic P-controller expert (LangNav) omega is
+# exactly 0.0 on every straight segment, so the steering head never learns
+# to go straight and the closed-loop rollout carries a compounding turn
+# bias (round-4 probe_policy finding).  ops/losses.validmask_velocity_mse.
+_C.TPU.VALID_MASK_VELOCITY_MSE = False
 # fused attention kernel (ops/pallas_attention.py): parity-tested but measured
 # SLOWER than XLA at HCM shapes on v5e (N=200,L=200,S=16,h=4: 960us vs 149us —
 # the op is too small; XLA's batched dot_general wins), so off by default
@@ -137,6 +146,14 @@ _C.DAGGER.USE_IW = True
 # reference's single-worker DataLoader (robo_vln_trainer.py:919-927).
 # 0/1 keeps the in-process loader; batch order depends on the worker count.
 _C.DAGGER.LOADER_WORKERS = 0
+# DART-style recovery demonstrations (Laskey et al. 2017), default off:
+# during expert collection, EXECUTE velocity commands perturbed by zero-mean
+# gaussian noise (std = this value, on both v and omega) while RECORDING the
+# expert's clean action as the label.  The buffer then contains observations
+# slightly off the expert manifold with corrective supervision — the cheap
+# counter to pure-BC closed-loop compounding when DAGGER.P=1 (the reference
+# trains pure teacher forcing and has no equivalent).
+_C.DAGGER.COLLECT_ACTION_NOISE = 0.0
 _C.DAGGER.PRELOAD_LMDB_FEATURES = False
 # with PRELOAD=False: collect inside the DAgger loop then CONTINUE into
 # training (one-command workflow). COLLECT_ONLY=True reproduces the

@@ -50,9 +50,16 @@ def _collection_config(config):
     return ccfg
 
 
-def _collect_episode(env, config, tokenizer, is_bert, vel_control):
+def _collect_episode(env, config, tokenizer, is_bert, vel_control,
+                     noise_rng=None):
     """Run ONE expert rollout; returns (obs, prev, corr, stop_steps) or None
-    for NaN-invalid trajectories (robo_vln_trainer.py:438-440)."""
+    for NaN-invalid trajectories (robo_vln_trainer.py:438-440).
+
+    noise_rng (with DAGGER.COLLECT_ACTION_NOISE > 0): DART-style recovery
+    collection — the EXECUTED command is gaussian-perturbed while the
+    recorded label stays the expert's clean action, so the buffer contains
+    off-manifold states with corrective supervision."""
+    noise_std = float(config.DAGGER.get("COLLECT_ACTION_NOISE", 0.0) or 0.0)
     episode_steps = []
     observations = env.reset()
     observations = transform_obs(
@@ -88,7 +95,18 @@ def _collect_episode(env, config, tokenizer, is_bert, vel_control):
             follower.waypoint, state, vel_control,
             progress=follower.progress, dt=config.DAGGER.time_step,
         )
-        observations, _, done, _ = env.step(vel_control)
+        if noise_std > 0.0 and noise_rng is not None:
+            # perturb the EXECUTED command only; the label below stays the
+            # clean (vel, omega), and the controller's velocity-smoothing
+            # memory (prev linear z in vel_control) is restored afterwards
+            n_v, n_w = noise_rng.normal(0.0, noise_std, 2)
+            vel_control.linear_velocity = np.array([0.0, 0.0, vel + n_v])
+            vel_control.angular_velocity = np.array([0.0, omega + n_w, 0.0])
+            observations, _, done, _ = env.step(vel_control)
+            vel_control.linear_velocity = np.array([0.0, 0.0, vel])
+            vel_control.angular_velocity = np.array([0.0, omega, 0.0])
+        else:
+            observations, _, done, _ = env.step(vel_control)
         episode_over, success = done
         if follower.progress > 0.985 and not stop_flag:
             stop_step = steps
@@ -134,12 +152,14 @@ def collect_dataset(config, features_dir: str, env=None,
         env = construct_env(_collection_config(config))
 
     vel_control = VelocityControl()
+    noise_rng = np.random.default_rng(config.TASK_CONFIG.SEED)
     collected = 0
     store = TrajectoryStore(features_dir, writable=True)
     try:
         start_id = len(store)
         for _ in range(update_size):
-            ep = _collect_episode(env, config, tokenizer, is_bert, vel_control)
+            ep = _collect_episode(env, config, tokenizer, is_bert, vel_control,
+                                  noise_rng=noise_rng)
             if ep is not None:
                 write_episode(store, start_id + collected, *ep)
                 collected += 1
@@ -197,9 +217,11 @@ def _collection_worker(config_dict, n_episodes: int, worker_idx: int,
     tokenizer = _make_tokenizer(config, vocab_file)
     env = construct_env(config, dataset=dataset)
     vel_control = VelocityControl()
+    noise_rng = np.random.default_rng(config.TASK_CONFIG.SEED + worker_idx)
     try:
         for _ in range(n_episodes):
-            ep = _collect_episode(env, config, tokenizer, is_bert, vel_control)
+            ep = _collect_episode(env, config, tokenizer, is_bert, vel_control,
+                                  noise_rng=noise_rng)
             queue.put(pack_episode(*ep) if ep is not None else None)
     finally:
         env.close()

@@ -29,6 +29,27 @@ def masked_velocity_mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
 
 
+def validmask_velocity_mse(
+    pred: jnp.ndarray,  # (N, 2)
+    target: jnp.ndarray,  # (N, 2)
+    valid: jnp.ndarray,  # (N,) 1.0 on real steps, 0.0 on padding
+) -> jnp.ndarray:
+    """MSE over (v, omega) masked by step VALIDITY (mean over real steps).
+
+    Opt-in deviation (TPU.VALID_MASK_VELOCITY_MSE) from the reference's
+    zero-target masking (masked_velocity_mse / robo_vln_trainer.py:521-527),
+    which silently drops any component whose target is exactly 0.0.  On real
+    robo-vln data that quirk mostly hits padding, but a synthetic P-controller
+    expert (LangNav) emits exact omega = 0.0 on every straight segment — under
+    the reference mask the steering head then receives NO gradient toward
+    "go straight", and the trained policy carries a persistent turn bias that
+    compounds in the closed loop (round-4 probe_policy finding)."""
+    keep = valid[:, None] > 0
+    per = jnp.where(keep, (pred - target) ** 2, 0.0)
+    denom = jnp.maximum(jnp.sum(keep) * pred.shape[-1], 1)
+    return jnp.sum(per) / denom
+
+
 def masked_stop_bce(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """BCEWithLogitsLoss over elements where target != -1.
 

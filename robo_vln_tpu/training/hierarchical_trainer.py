@@ -139,13 +139,14 @@ class HierarchicalTrainer(BaseTrainer):
             if cfg.TPU.APPLY_INFLECTION_WEIGHTS and cfg.DAGGER.USE_IW
             else None
         )
+        vvm = cfg.TPU.VALID_MASK_VELOCITY_MSE
         self.train_step = steps_lib.make_hier_train_step(
             high_b, low_b, self.tx_high, self.tx_low, self.mesh,
             donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT, trunk_fn=trunk_fn,
-            inflection_coef=iw_coef,
+            inflection_coef=iw_coef, valid_velocity_mse=vvm,
         )
         self.val_step = steps_lib.make_hier_val_step(
-            high_b, low_b, trunk_fn=trunk_fn
+            high_b, low_b, trunk_fn=trunk_fn, valid_velocity_mse=vvm,
         )
 
     def _featurized_dirs(self):

@@ -64,8 +64,22 @@ class HierTrainState(NamedTuple):
     low: TrainState
 
 
+def _velocity_mse(actions, batch, valid_velocity_mse: bool):
+    """Reference zero-target masking by default; per-step validity masking
+    behind TPU.VALID_MASK_VELOCITY_MSE (ops/losses.validmask_velocity_mse —
+    required when the expert emits exact-zero components on real steps)."""
+    pred = actions.reshape(-1, 2)
+    corrected = batch["corrected_actions"].reshape(-1, 2)
+    if valid_velocity_mse:
+        return losses.validmask_velocity_mse(
+            pred, corrected, batch["valid_mask"].reshape(-1)
+        )
+    return losses.masked_velocity_mse(pred, corrected) \
+        * _pad_episode_correction(batch)
+
+
 def _flat_losses(policy, params, batch, hidden, dropout_rng=None, *,
-                 progress_alpha, use_progress):
+                 progress_alpha, use_progress, valid_velocity_mse=False):
     obs = {
         k: batch[k]
         for k in batch
@@ -83,9 +97,7 @@ def _flat_losses(policy, params, batch, hidden, dropout_rng=None, *,
         batch["not_done_masks"], **kwargs,
     )
     corrected = batch["corrected_actions"].reshape(-1, 2)
-    action_loss = losses.masked_velocity_mse(
-        actions.reshape(-1, 2), corrected
-    ) * _pad_episode_correction(batch)
+    action_loss = _velocity_mse(actions, batch, valid_velocity_mse)
     stop_loss = losses.masked_stop_bce(
         stop.reshape(-1, 1), batch["oracle_stop"].reshape(-1, 1)
     )
@@ -101,7 +113,8 @@ def _flat_losses(policy, params, batch, hidden, dropout_rng=None, *,
 
 
 def make_flat_train_step(policy, tx, mesh, use_progress=False,
-                         progress_alpha=1.0, donate=True, remat=False):
+                         progress_alpha=1.0, donate=True, remat=False,
+                         valid_velocity_mse=False):
     """Returns jitted (state, hidden, batch, lr) -> (state, hidden, metrics).
 
     remat=True (TPU.REMAT): the whole forward is rematerialized in the
@@ -112,6 +125,7 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
     losses_fn = functools.partial(
         _flat_losses, policy,
         progress_alpha=progress_alpha, use_progress=use_progress,
+        valid_velocity_mse=valid_velocity_mse,
     )
     if remat:
         losses_fn = jax.checkpoint(losses_fn)
@@ -153,11 +167,13 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
     return jax.jit(step_fn, donate_argnums=donate_args)
 
 
-def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0):
+def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0,
+                       valid_velocity_mse=False):
     def step_fn(params, hidden, batch):
         a, s, x, new_hidden = _flat_losses(
             policy, params, batch, hidden,
             progress_alpha=progress_alpha, use_progress=use_progress,
+            valid_velocity_mse=valid_velocity_mse,
         )
         return new_hidden, {"action_loss": a, "stop_loss": s, "aux_loss": x,
                             "total_loss": a + s + x}
@@ -167,7 +183,7 @@ def make_flat_val_step(policy, use_progress=False, progress_alpha=1.0):
 
 def _hier_losses(high, low, high_params, low_params, batch,
                  high_hidden, low_hidden, dropout_rng=None, trunk_fn=None,
-                 inflection_coef=None):
+                 inflection_coef=None, valid_velocity_mse=False):
     obs = {
         k: batch[k]
         for k in batch
@@ -210,9 +226,7 @@ def _hier_losses(high, low, high_params, low_params, batch,
         {"params": low_params}, obs, low_hidden, batch["prev_actions"],
         batch["not_done_masks"], disc,
     )
-    ll_action = losses.masked_velocity_mse(
-        actions.reshape(-1, 2), batch["corrected_actions"].reshape(-1, 2)
-    ) * _pad_episode_correction(batch)
+    ll_action = _velocity_mse(actions, batch, valid_velocity_mse)
     ll_stop = losses.masked_stop_bce(
         stop.reshape(-1, 1), batch["oracle_stop"].reshape(-1, 1)
     )
@@ -226,7 +240,8 @@ def _hier_losses(high, low, high_params, low_params, batch,
 
 
 def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
-                         remat=False, trunk_fn=None, inflection_coef=None):
+                         remat=False, trunk_fn=None, inflection_coef=None,
+                         valid_velocity_mse=False):
     """One program, two optimizers (AdamW high / Adam low), two LRs.
 
     remat=True (TPU.REMAT): rematerialize the forward in the backward pass
@@ -238,7 +253,8 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
     deviation from the reference, which never applies its computed weights."""
 
     losses_fn = functools.partial(_hier_losses, high, low, trunk_fn=trunk_fn,
-                                  inflection_coef=inflection_coef)
+                                  inflection_coef=inflection_coef,
+                                  valid_velocity_mse=valid_velocity_mse)
     if remat:
         losses_fn = jax.checkpoint(losses_fn)
 
@@ -305,11 +321,11 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
     return jax.jit(step_fn, donate_argnums=donate_args)
 
 
-def make_hier_val_step(high, low, trunk_fn=None):
+def make_hier_val_step(high, low, trunk_fn=None, valid_velocity_mse=False):
     def step_fn(high_params, low_params, high_hidden, low_hidden, batch):
         hl, lla, lls, nhh, nlh, acc = _hier_losses(
             high, low, high_params, low_params, batch, high_hidden, low_hidden,
-            trunk_fn=trunk_fn,
+            trunk_fn=trunk_fn, valid_velocity_mse=valid_velocity_mse,
         )
         return nhh, nlh, {
             "high_level_loss": hl,

@@ -245,14 +245,17 @@ class RoboVLNTrainer(BaseTrainer):
             logger.info(f"Loaded weights from checkpoint: {ckpt_path}")
 
         use_pm = cfg.MODEL.PROGRESS_MONITOR.use
+        vvm = cfg.TPU.VALID_MASK_VELOCITY_MSE
         self.train_step = steps_lib.make_flat_train_step(
             self._bound_policy(), self.tx, self.mesh,
             use_progress=use_pm, progress_alpha=cfg.MODEL.PROGRESS_MONITOR.alpha,
             donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT,
+            valid_velocity_mse=vvm,
         )
         self.val_step = steps_lib.make_flat_val_step(
             self._bound_policy(), use_progress=use_pm,
             progress_alpha=cfg.MODEL.PROGRESS_MONITOR.alpha,
+            valid_velocity_mse=vvm,
         )
 
     def _bound_policy(self):

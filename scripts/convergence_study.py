@@ -78,6 +78,14 @@ SEGMENTS = tuple(
 LENGTHS = tuple(
     int(x) for x in os.environ.get("CS_LENGTHS", "2,3").split(",")
 )
+# Two documented deviations, on by default FOR THE STUDY (PARITY.md; both
+# default off in the framework), fixing the round-4 closed-loop failure mode:
+# the LangNav P-controller expert emits exact omega=0.0 on straights, which
+# (a) the reference's zero-target MSE masking silently drops (the steering
+# head never learns "go straight" -> compounding turn bias, probe_policy
+# finding), and (b) pure teacher forcing never shows recovery states.
+NOISE = float(os.environ.get("CS_NOISE", 0.15))
+VALID_MSE = bool(int(os.environ.get("CS_VALID_MSE", "1")))
 
 
 def build_config(data_dir: str):
@@ -129,6 +137,8 @@ def build_config(data_dir: str):
     d.CYCLIC_STEP_SIZE_UP = 2 * steps_per_epoch
     d.CYCLIC_STEP_SIZE_DOWN = max((EPOCHS - 2) * steps_per_epoch, 1)
 
+    d.COLLECT_ACTION_NOISE = NOISE  # DART-style recovery collection
+    cfg.TPU.VALID_MASK_VELOCITY_MSE = VALID_MSE
     cfg.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = True  # random-init trunks (no files)
     cfg.CHECKPOINT_FOLDER = os.path.join(OUT, "ckpts")
     cfg.TENSORBOARD_DIR = os.path.join(OUT, "tb")
@@ -309,13 +319,31 @@ def stage_nonlearning():
 # orchestrator (jax-free: one TPU client at a time)
 # ---------------------------------------------------------------------------
 
+def _machine_cache_dir() -> str:
+    """Per-machine persistent-cache dir.  XLA:CPU cache entries are AOT
+    compiled for the build host's exact CPU features; loading them on a
+    different machine (rounds migrate hosts) warns about SIGILL and killed
+    the round-4 host-check stage.  Keying the dir on the CPU flags makes a
+    stale cross-host cache impossible."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+    except (OSError, StopIteration):
+        flags = platform.processor()
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return os.path.join(REPO, ".jax_cache", tag)
+
+
 def run_stage(stage: str, **extra_env) -> None:
     env = {
         **os.environ,
         "CS_STAGE": stage,
         # persistent XLA cache: recycled stage processes re-init the policy
         # on the host CPU (training/trainer.py) — cache those compiles once
-        "JAX_COMPILATION_CACHE_DIR": os.path.join(REPO, ".jax_cache"),
+        "JAX_COMPILATION_CACHE_DIR": _machine_cache_dir(),
         "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
         "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "-1",
         **extra_env,

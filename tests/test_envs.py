@@ -226,6 +226,50 @@ def test_collection_multiprocess_workers(tmp_path):
         assert corr[:, 0].min() < -0.3  # real expert rollouts in every slot
 
 
+def test_collect_action_noise_perturbs_execution_not_labels(tmp_path):
+    """DAGGER.COLLECT_ACTION_NOISE (DART-style recovery collection): the
+    rollout drifts (different observed trajectory) but the recorded labels
+    stay the clean expert commands (bounded like the noiseless controller
+    output), and episodes still complete."""
+    from robo_vln_tpu.envs.collection import collect_dataset
+    from robo_vln_tpu.data.loader import TrajectoryDataset
+
+    runs = {}
+    for name, noise in (("clean", 0.0), ("noisy", 0.4)):
+        cfg = kinematic_config(tmp_path, make_episode_json(tmp_path))
+        cfg.MODEL.INSTRUCTION_ENCODER.is_bert = False
+        cfg.DAGGER.COLLECT_ACTION_NOISE = noise
+        cfg.freeze()
+        out = str(tmp_path / f"buf_{name}")
+        assert collect_dataset(cfg, out, update_size=2) == 2
+        ds = TrajectoryDataset(out, batch_size=1, is_bert=False, seed=1)
+        runs[name] = [(dict(o), p.copy(), c.copy()) for o, p, c in
+                      ((o, p, c) for o, p, c, _ in ds)]
+
+    by_len = {}
+    for name, eps in runs.items():
+        for o, p, c in eps:
+            by_len.setdefault(name, {})[len(c)] = (o, p, c)
+    # labels bounded like clean controller output (no injected noise leaks in)
+    for o, p, c in runs["noisy"]:
+        assert np.isfinite(c).all()
+        assert np.abs(c[:, 1]).max() <= 1.0 + 1e-6  # omega clamp
+    # the executed (observed) trajectories differ: compare rgb streams of the
+    # same episode (matched by instruction tokens)
+    def key(o):
+        return tuple(np.asarray(o["instruction"]).reshape(-1)[:8])
+
+    clean = {key(o): o for o, _, _ in runs["clean"]}
+    drifted = 0
+    for o, _, _ in runs["noisy"]:
+        co = clean[key(o)]
+        a, b = np.asarray(o["rgb"], np.float32), np.asarray(co["rgb"], np.float32)
+        n = min(len(a), len(b))
+        if n and not np.array_equal(a[:n], b[:n]):
+            drifted += 1
+    assert drifted == len(runs["noisy"])
+
+
 def test_nonlearning_agents(tmp_path):
     from robo_vln_tpu.agents.nonlearning import evaluate_agent
 

@@ -116,3 +116,40 @@ def test_progress_monitor(rng):
         losses.progress_monitor_mse(jnp.asarray(ph), jnp.asarray(pr), jnp.asarray(mask))
     )
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_validmask_velocity_mse(rng):
+    """TPU.VALID_MASK_VELOCITY_MSE deviation: masking by step validity keeps
+    exact-zero targets (straight-segment omega from a P-controller expert) in
+    the loss, and equals torch MSE over the valid rows."""
+    pred = rng.standard_normal((20, 2)).astype(np.float32)
+    target = rng.standard_normal((20, 2)).astype(np.float32)
+    target[3, 1] = 0.0  # genuine zero omega — must STAY in the loss
+    target[12:] = 0.0  # padding
+    valid = np.zeros(20, np.float32)
+    valid[:12] = 1.0
+
+    ref = nn.MSELoss()(
+        torch.from_numpy(pred[:12].copy()), torch.from_numpy(target[:12])
+    ).item()
+    got = float(losses.validmask_velocity_mse(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(valid)
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    # the zero-target component gets gradient under the valid mask...
+    import jax
+
+    g = jax.grad(
+        lambda p: losses.validmask_velocity_mse(
+            p, jnp.asarray(target), jnp.asarray(valid)
+        )
+    )(jnp.asarray(pred))
+    assert abs(float(g[3, 1])) > 0.0
+    # ...and none under the reference mask (the quirk this flag fixes)
+    g_ref = jax.grad(
+        lambda p: losses.masked_velocity_mse(p, jnp.asarray(target))
+    )(jnp.asarray(pred))
+    assert float(g_ref[3, 1]) == 0.0
+    # padding stays excluded either way
+    assert float(jnp.abs(g[12:]).sum()) == 0.0
