@@ -87,8 +87,10 @@ def summary(rows):
                 )
     nl = [r for r in rows if r["model"].startswith("nonlearning")]
     for r in nl:
+        label = ("expert upper bound"
+                 if "Expert" in r["model"] else "random baseline")
         lines.append(
-            f"| {r['model']} | random baseline | {r.get('success')} "
+            f"| {r['model']} | {label} | {r.get('success')} "
             f"| {r.get('spl')} | {r.get('ndtw')} |"
         )
     host = [r for r in rows if r["split"] == "val_unseen_host"]
