@@ -86,6 +86,18 @@ LENGTHS = tuple(
 # finding), and (b) pure teacher forcing never shows recovery states.
 NOISE = float(os.environ.get("CS_NOISE", 0.15))
 VALID_MSE = bool(int(os.environ.get("CS_VALID_MSE", "1")))
+# CS_SIMPLE=1: NatureCNN-style encoders (simple_cnns.py equivalents) instead
+# of the frozen ResNet trunks — the meso-scale grounding configuration, where
+# every parameter that touches the instruction is trainable and the loader
+# cost per frame drops ~10x (no 224px decode)
+SIMPLE_CNNS = bool(int(os.environ.get("CS_SIMPLE", "0")))
+# instruction pad length (LangNav programs are <=40 tokens; the robo-vln
+# default 200 wastes a 5x factor of instruction-LSTM scan steps)
+INSTR_LEN = int(os.environ.get("CS_INSTR_LEN", "200"))
+# host-driver cross-check row cost cap: the tunneled per-step transfer path
+# leaks pinned buffers (docs/TPU_ENV_NOTES.md), so the host row runs on
+# JAX_PLATFORMS=cpu over the first CS_HOST_EPISODES episodes only
+HOST_EPISODES = int(os.environ.get("CS_HOST_EPISODES", "4"))
 
 
 def build_config(data_dir: str):
@@ -138,7 +150,11 @@ def build_config(data_dir: str):
     d.CYCLIC_STEP_SIZE_DOWN = max((EPOCHS - 2) * steps_per_epoch, 1)
 
     d.COLLECT_ACTION_NOISE = NOISE  # DART-style recovery collection
+    d.MAX_INSTRUCTION_LEN = INSTR_LEN
     cfg.TPU.VALID_MASK_VELOCITY_MSE = VALID_MSE
+    if SIMPLE_CNNS:
+        cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
+        cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
     cfg.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = True  # random-init trunks (no files)
     cfg.CHECKPOINT_FOLDER = os.path.join(OUT, "ckpts")
     cfg.TENSORBOARD_DIR = os.path.join(OUT, "tb")
@@ -259,6 +275,9 @@ def stage_eval():
     ecfg.EVAL.SHUFFLE_INSTRUCTIONS = shuffled
     if host_check:
         ecfg.EVAL.ON_DEVICE = False
+        # parity subset: first HOST_EPISODES episodes, compared per-episode
+        # against the on-device row's tb_eval metrics.jsonl for the same ids
+        ecfg.EVAL.EPISODE_COUNT = min(HOST_EPISODES, N_VAL)
     ecfg.freeze()
     trainer = trainer_class()(ecfg)
     picked = pick_checkpoints(ckpt_names())
@@ -278,6 +297,7 @@ def stage_eval():
                 "split": row_split,
                 "ckpt": name,
                 "epoch": idx_of(name),
+                "episodes": ecfg.EVAL.EPISODE_COUNT,
                 **{k: round(float(v), 4) for k, v in stats.items()
                    if isinstance(v, (int, float))},
                 "eval_seconds": round(time.time() - t0, 1),
@@ -387,13 +407,19 @@ def orchestrate():
     run_stage("eval", CS_SPLIT="val_unseen", CS_SHUFFLE="1")
     if ON_DEVICE:
         # float64 host-driver cross-check of the final checkpoint (the main
-        # curve rides the fused on-device evaluator)
-        run_stage("eval", CS_SPLIT="val_unseen", CS_HOST="1")
-    # random-agent reference row for the grounding control
-    run_stage("nonlearning", CS_SPLIT="val_unseen")
+        # curve rides the fused on-device evaluator).  Forced onto the CPU
+        # backend: the tunneled TPU client leaks every per-step transfer
+        # buffer (~2 GB/min, OOMed the round-4 take-2 chain), and the host
+        # row's per-step python loop is exactly that path.
+        run_stage("eval", CS_SPLIT="val_unseen", CS_HOST="1",
+                  JAX_PLATFORMS="cpu")
+    # random-agent reference row for the grounding control (no policy
+    # forward: keep these off the tunnel too)
+    run_stage("nonlearning", CS_SPLIT="val_unseen", JAX_PLATFORMS="cpu")
     # expert upper-bound row: the data-generating policy through the same
     # closed-loop driver/thresholds — bounds what perfect imitation could score
-    run_stage("nonlearning", CS_SPLIT="val_unseen", CS_AGENT="ExpertAgent")
+    run_stage("nonlearning", CS_SPLIT="val_unseen", CS_AGENT="ExpertAgent",
+              JAX_PLATFORMS="cpu")
 
     rows = []
     for split in ("val_seen", "val_unseen", "val_unseen_shuffled",
