@@ -51,14 +51,20 @@ def _collection_config(config):
 
 
 def _collect_episode(env, config, tokenizer, is_bert, vel_control,
-                     noise_rng=None):
+                     noise_rng=None, mixer=None, beta=1.0, mix_rng=None):
     """Run ONE expert rollout; returns (obs, prev, corr, stop_steps) or None
     for NaN-invalid trajectories (robo_vln_trainer.py:438-440).
 
     noise_rng (with DAGGER.COLLECT_ACTION_NOISE > 0): DART-style recovery
     collection — the EXECUTED command is gaussian-perturbed while the
     recorded label stays the expert's clean action, so the buffer contains
-    off-manifold states with corrective supervision."""
+    off-manifold states with corrective supervision.
+
+    mixer + beta < 1 (DAGGER.P < 1, envs/dagger.py): per step, execute the
+    current POLICY's action with probability 1-beta instead of the expert's
+    (true DAgger mixing; labels stay the expert's clean action either way).
+    The mixer network is stepped every step so its recurrent state tracks
+    the executed history; noise applies only to expert-sourced commands."""
     noise_std = float(config.DAGGER.get("COLLECT_ACTION_NOISE", 0.0) or 0.0)
     episode_steps = []
     observations = env.reset()
@@ -79,6 +85,8 @@ def _collect_episode(env, config, tokenizer, is_bert, vel_control,
     stop_flag = False
     vel_control.linear_velocity = np.zeros(3)
     vel_control.angular_velocity = np.zeros(3)
+    if mixer is not None:
+        mixer.reset()
     while follower.progress < 1.0:
         steps += 1
         if is_done:
@@ -95,18 +103,35 @@ def _collect_episode(env, config, tokenizer, is_bert, vel_control,
             follower.waypoint, state, vel_control,
             progress=follower.progress, dt=config.DAGGER.time_step,
         )
-        if noise_std > 0.0 and noise_rng is not None:
-            # perturb the EXECUTED command only; the label below stays the
-            # clean (vel, omega), and the controller's velocity-smoothing
-            # memory (prev linear z in vel_control) is restored afterwards
+        exec_v, exec_w = vel, omega
+        from_policy = False
+        if mixer is not None:
+            # stepped unconditionally: the recurrent state must track the
+            # executed history, not just the steps where the coin fires
+            p_v, p_w = mixer.step(observations)
+            if mix_rng is not None and mix_rng.random() >= beta and \
+                    np.isfinite(p_v) and np.isfinite(p_w):
+                # same clipping as the eval driver (evaluator.py:424)
+                exec_v, exec_w = p_v, float(np.clip(p_w, -1.0, 1.0))
+                from_policy = True
+        if noise_std > 0.0 and noise_rng is not None and not from_policy:
+            # perturb the EXECUTED command only (expert-sourced steps; a
+            # policy-sourced command is already off the expert manifold)
             n_v, n_w = noise_rng.normal(0.0, noise_std, 2)
-            vel_control.linear_velocity = np.array([0.0, 0.0, vel + n_v])
-            vel_control.angular_velocity = np.array([0.0, omega + n_w, 0.0])
+            exec_v, exec_w = exec_v + n_v, exec_w + n_w
+        if (exec_v, exec_w) != (vel, omega):
+            # the label below stays the clean (vel, omega), and the
+            # controller's velocity-smoothing memory (prev linear z in
+            # vel_control) is restored after the step
+            vel_control.linear_velocity = np.array([0.0, 0.0, exec_v])
+            vel_control.angular_velocity = np.array([0.0, exec_w, 0.0])
             observations, _, done, _ = env.step(vel_control)
             vel_control.linear_velocity = np.array([0.0, 0.0, vel])
             vel_control.angular_velocity = np.array([0.0, omega, 0.0])
         else:
             observations, _, done, _ = env.step(vel_control)
+        if mixer is not None:
+            mixer.set_prev(exec_v, exec_w)
         episode_over, success = done
         if follower.progress > 0.985 and not stop_flag:
             stop_step = steps
@@ -133,15 +158,26 @@ def _collect_episode(env, config, tokenizer, is_bert, vel_control,
 
 
 def collect_dataset(config, features_dir: str, env=None,
-                    update_size: int = None, vocab_file: str = "") -> int:
+                    update_size: int = None, vocab_file: str = "",
+                    mixer=None, beta: float = 1.0) -> int:
     """Collect expert episodes into `features_dir`. Returns episodes written.
 
     NUM_PROCESSES > 1 (and no explicit `env`) fans the rollouts out to
     process-based workers (the reference's habitat.VectorEnv fork-server
     role, env_utils.py:117-205) — real simulators hold the GIL in Python
-    code, so threads don't scale collection; processes do."""
+    code, so threads don't scale collection; processes do.
+
+    mixer + beta < 1: DAgger policy-mixed rollouts (envs/dagger.py).  The
+    mixer holds live policy params, so this path is serial — worker
+    processes would need param shipping per iteration."""
     update_size = update_size or config.DAGGER.UPDATE_SIZE
-    if env is None and config.NUM_PROCESSES > 1:
+    if mixer is not None and beta < 1.0 and env is None \
+            and config.NUM_PROCESSES > 1:
+        logger.warning(
+            "DAgger mixed collection (DAGGER.P < 1) runs serially; ignoring "
+            f"NUM_PROCESSES={config.NUM_PROCESSES} for this iteration"
+        )
+    elif env is None and config.NUM_PROCESSES > 1:
         return _collect_dataset_parallel(
             config, features_dir, update_size, vocab_file
         )
@@ -153,13 +189,18 @@ def collect_dataset(config, features_dir: str, env=None,
 
     vel_control = VelocityControl()
     noise_rng = np.random.default_rng(config.TASK_CONFIG.SEED)
+    # independent stream: beta=1.0 collection is bit-identical with or
+    # without a mixer attached
+    mix_rng = np.random.default_rng(config.TASK_CONFIG.SEED + 7919) \
+        if mixer is not None else None
     collected = 0
     store = TrajectoryStore(features_dir, writable=True)
     try:
         start_id = len(store)
         for _ in range(update_size):
             ep = _collect_episode(env, config, tokenizer, is_bert, vel_control,
-                                  noise_rng=noise_rng)
+                                  noise_rng=noise_rng, mixer=mixer, beta=beta,
+                                  mix_rng=mix_rng)
             if ep is not None:
                 write_episode(store, start_id + collected, *ep)
                 collected += 1

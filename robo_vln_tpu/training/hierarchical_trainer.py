@@ -53,8 +53,10 @@ class HierarchicalTrainer(BaseTrainer):
         self.low = None
         self.state: Optional[steps_lib.HierTrainState] = None
 
-    # reuse the flat trainer's batch pipeline
+    # reuse the flat trainer's batch pipeline and DAgger collection hooks
     _batches = RoboVLNTrainer._batches
+    _update_dataset = RoboVLNTrainer._update_dataset
+    _collection_mixer = RoboVLNTrainer._collection_mixer
 
     def _setup_policy(self, load_from_ckpt: bool = False, ckpt_path: str = ""):
         cfg = self.config
@@ -330,9 +332,7 @@ class HierarchicalTrainer(BaseTrainer):
         collect = not cfg.DAGGER.PRELOAD_LMDB_FEATURES
         if collect and cfg.DAGGER.COLLECT_ONLY:
             # reference behavior: collect then stop (robo_vln_trainer.py:903)
-            from robo_vln_tpu.envs.collection import collect_dataset
-
-            collect_dataset(cfg, self.features_dir)
+            self._update_dataset(0)
             logger.info("Data collection complete")
             return
 
@@ -350,9 +350,7 @@ class HierarchicalTrainer(BaseTrainer):
             val_steps = int(resume_meta.get("val_steps", 0))
             for dagger_it in range(cfg.DAGGER.ITERATIONS):
                 if collect:
-                    from robo_vln_tpu.envs.collection import collect_dataset
-
-                    collect_dataset(cfg, self.features_dir)
+                    self._update_dataset(dagger_it)
                     logger.info(
                         f"Data collection complete (iteration {dagger_it})"
                     )

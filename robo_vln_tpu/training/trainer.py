@@ -457,7 +457,34 @@ class RoboVLNTrainer(BaseTrainer):
     def _update_dataset(self, data_it: int) -> None:
         from robo_vln_tpu.envs.collection import collect_dataset
 
-        collect_dataset(self.config, self.features_dir)
+        mixer, beta = self._collection_mixer(data_it)
+        collect_dataset(self.config, self.features_dir, mixer=mixer, beta=beta)
+
+    def _collection_mixer(self, data_it: int):
+        """DAGGER.P < 1: true DAgger action mixing with beta = P**data_it
+        (VLN-CE semantics; the reference exposes P but never mixes —
+        robo_vln_trainer.py:387-503, docs/PARITY.md).  data_it counts
+        LOAD_FROM_CKPT as one prior iteration, mirroring the reference's
+        dagger_it offset (robo_vln_trainer.py:898-900)."""
+        p = float(self.config.DAGGER.P)
+        if self.config.DAGGER.LOAD_FROM_CKPT:
+            data_it += 1
+        beta = p ** data_it if p < 1.0 else 1.0
+        if beta >= 1.0:
+            return None, 1.0
+        if getattr(self, "policy", None) is None and \
+                getattr(self, "high", None) is None:
+            self._setup_policy(
+                self.config.DAGGER.LOAD_FROM_CKPT,
+                self.config.DAGGER.CKPT_TO_LOAD,
+            )
+        from robo_vln_tpu.envs.dagger import mixer_for_trainer
+
+        logger.info(
+            f"DAgger mixed collection: beta={beta:.4f} "
+            f"(P={p}, data_it={data_it})"
+        )
+        return mixer_for_trainer(self), beta
 
     def _eval_checkpoint(self, checkpoint_path: str, writer,
                          checkpoint_index: int = 0) -> None:

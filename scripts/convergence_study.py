@@ -452,6 +452,15 @@ def render_table(rows) -> str:
 
 
 if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the ambient axon TPU plugin force-appends itself to jax_platforms,
+        # so the env var alone does NOT pin CPU (tests/conftest.py) — the
+        # take-3 chain's "CPU" host-check stage silently rode the tunnel and
+        # leaked ~3 GB/min.  Programmatic pinning before first device use is
+        # the only reliable form.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     stage = os.environ.get("CS_STAGE")
     if stage == "collect":
         stage_collect()
