@@ -358,6 +358,13 @@ _C.MODEL.BERT.intermediate_size = 3072
 _C.MODEL.BERT.max_position_embeddings = 512
 _C.MODEL.BERT.type_vocab_size = 2
 _C.MODEL.BERT.pretrained_weights = "data/weights/bert_base_uncased.npz"
+# Documented deviation (docs/PARITY.md): the reference always freezes BERT
+# (seq2seq_highlevel_cma.py:192-196 no_grad; language_encoder.py:42).  With
+# trainable=True the instruction embedding trains end-to-end — required for
+# language grounding when no pretrained BERT weights exist (the convergence
+# study's CS_TRAIN_BERT arm).  Incompatible with PRELOAD_TRUNK_FEATURES
+# (the feature store caches BERT outputs as constants).
+_C.MODEL.BERT.trainable = False
 
 _C.MODEL.TRANSFORMER = ConfigTree()
 _C.MODEL.TRANSFORMER.use = False

@@ -36,18 +36,20 @@ class LanguageEncoder(nn.Module):
     @nn.compact
     def __call__(self, instruction: jnp.ndarray, deterministic: bool = True):
         bc = self.bert_config
-        embedded = jax.lax.stop_gradient(
-            BertEncoder(
-                vocab_size=bc.vocab_size,
-                hidden_size=bc.hidden_size,
-                num_layers=bc.num_layers,
-                num_heads=bc.num_heads,
-                intermediate_size=bc.intermediate_size,
-                max_position_embeddings=bc.max_position_embeddings,
-                compute_dtype=self.compute_dtype,
-                name="embedding_layer",
-            )(instruction)
-        )
+        embedded = BertEncoder(
+            vocab_size=bc.vocab_size,
+            hidden_size=bc.hidden_size,
+            num_layers=bc.num_layers,
+            num_heads=bc.num_heads,
+            intermediate_size=bc.intermediate_size,
+            max_position_embeddings=bc.max_position_embeddings,
+            compute_dtype=self.compute_dtype,
+            name="embedding_layer",
+        )(instruction)
+        if not getattr(bc, "trainable", False):
+            # frozen no-grad embedding (reference language_encoder.py:42);
+            # MODEL.BERT.trainable=True is the PARITY.md deviation
+            embedded = jax.lax.stop_gradient(embedded)
         # embedding dropout, active in training (language_encoder.py:119)
         embedded = nn.Dropout(self.dropout_ratio)(
             embedded, deterministic=deterministic

@@ -103,8 +103,14 @@ class HighLevelPolicy(nn.Module):
         EPISODE-constant, so the eval driver computes this once per episode
         and feeds it back as observations["instruction_embedding"] — the
         reference reruns BERT every control tick (robo_vln baseline
-        seq2seq_highlevel_cma.py:192-196)."""
-        return jax.lax.stop_gradient(self.embedding_layer(instruction))
+        seq2seq_highlevel_cma.py:192-196).
+
+        MODEL.BERT.trainable=True (PARITY.md deviation) drops the
+        stop_gradient so the instruction pathway trains end-to-end."""
+        embedded = self.embedding_layer(instruction)
+        if getattr(self.model_config.BERT, "trainable", False):
+            return embedded
+        return jax.lax.stop_gradient(embedded)
 
     def __call__(
         self,

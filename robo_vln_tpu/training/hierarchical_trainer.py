@@ -113,8 +113,9 @@ class HierarchicalTrainer(BaseTrainer):
         logger.info(f"agent number of parameters: {n_params}")
 
         wd = cfg.MODEL.TRANSFORMER.weight_decay
-        self.tx_high = opt_lib.masked(opt_lib.adamw(wd), hp)
-        self.tx_low = opt_lib.masked(opt_lib.adam(wd), lp)
+        unfrozen = self._unfrozen_names()
+        self.tx_high = opt_lib.masked(opt_lib.adamw(wd), hp, unfrozen=unfrozen)
+        self.tx_low = opt_lib.masked(opt_lib.adam(wd), lp, unfrozen=unfrozen)
         with init_ctx:
             self.state = steps_lib.HierTrainState(
                 steps_lib.TrainState(hp, self.tx_high.init(hp), jnp.asarray(0)),
@@ -146,6 +147,7 @@ class HierarchicalTrainer(BaseTrainer):
             high_b, low_b, self.tx_high, self.tx_low, self.mesh,
             donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT, trunk_fn=trunk_fn,
             inflection_coef=iw_coef, valid_velocity_mse=vvm,
+            unfrozen=unfrozen,
         )
         self.val_step = steps_lib.make_hier_val_step(
             high_b, low_b, trunk_fn=trunk_fn, valid_velocity_mse=vvm,
@@ -348,7 +350,8 @@ class HierarchicalTrainer(BaseTrainer):
         with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
             train_steps = int(resume_meta.get("train_steps", 0))
             val_steps = int(resume_meta.get("val_steps", 0))
-            for dagger_it in range(cfg.DAGGER.ITERATIONS):
+            done_through = start_epoch
+            for dagger_it, epochs in self._iteration_plan(start_epoch):
                 if collect:
                     self._update_dataset(dagger_it)
                     logger.info(
@@ -358,8 +361,6 @@ class HierarchicalTrainer(BaseTrainer):
                 if cfg.DAGGER.PRELOAD_TRUNK_FEATURES:
                     # after collection so a freshly grown buffer refeaturizes
                     train_dir, eval_dir = self._featurized_dirs()
-                epochs = self._epoch_range(start_epoch)
-                start_epoch = 0  # resume applies to the first iteration only
                 for epoch in epochs:
                     t0 = time.time()
                     train_steps = self.train_epoch(
@@ -374,12 +375,13 @@ class HierarchicalTrainer(BaseTrainer):
                     logger.info(
                         f"epoch {epoch} done in {time.time() - t0:.1f}s"
                     )
-                if epochs.stop < cfg.DAGGER.EPOCHS:
-                    logger.info(
-                        f"stopping after epoch {epochs.stop - 1} "
-                        "(DAGGER.MAX_EPOCHS_PER_RUN); a DAGGER.RESUME run "
-                        f"continues at epoch {epochs.stop}"
-                    )
+                done_through = epochs.stop
+            if done_through < self._total_epochs:
+                logger.info(
+                    f"stopping after epoch {done_through - 1} "
+                    "(DAGGER.MAX_EPOCHS_PER_RUN); a DAGGER.RESUME run "
+                    f"continues at epoch {done_through}"
+                )
 
     def _eval_checkpoint(self, checkpoint_path, writer, checkpoint_index=0):
         from robo_vln_tpu.eval.evaluator import eval_hierarchical_checkpoint

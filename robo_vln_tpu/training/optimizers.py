@@ -26,9 +26,15 @@ import optax
 FROZEN_MODULE_NAMES = ("visual_encoder", "cnn", "embedding_layer")
 
 
-def trainable_mask(params: Dict, extra_frozen: tuple = ()) -> Dict:
-    """Pytree of bools: False on frozen (pretrained-backbone) subtrees."""
-    frozen_names = set(FROZEN_MODULE_NAMES) | set(extra_frozen)
+def trainable_mask(params: Dict, extra_frozen: tuple = (),
+                   unfrozen: tuple = ()) -> Dict:
+    """Pytree of bools: False on frozen (pretrained-backbone) subtrees.
+
+    `unfrozen` removes names from the frozen set — e.g. ("embedding_layer",)
+    when MODEL.BERT.trainable lifts the reference's BERT freeze
+    (docs/PARITY.md deviation)."""
+    frozen_names = (set(FROZEN_MODULE_NAMES) | set(extra_frozen)) \
+        - set(unfrozen)
 
     def walk(tree, path):
         if isinstance(tree, dict):
@@ -41,10 +47,11 @@ def trainable_mask(params: Dict, extra_frozen: tuple = ()) -> Dict:
 
 
 def masked(tx: optax.GradientTransformation, params: Dict,
-           extra_frozen: tuple = ()) -> optax.GradientTransformation:
+           extra_frozen: tuple = (),
+           unfrozen: tuple = ()) -> optax.GradientTransformation:
     """Run tx on trainable params only; frozen leaves get a hard-zero update
     (optax.masked alone would pass their raw gradient through)."""
-    mask = trainable_mask(params, extra_frozen)
+    mask = trainable_mask(params, extra_frozen, unfrozen)
     inverse = jax.tree.map(lambda m: not m, mask)
     return optax.chain(
         optax.masked(tx, mask),

@@ -114,7 +114,7 @@ def _flat_losses(policy, params, batch, hidden, dropout_rng=None, *,
 
 def make_flat_train_step(policy, tx, mesh, use_progress=False,
                          progress_alpha=1.0, donate=True, remat=False,
-                         valid_velocity_mse=False):
+                         valid_velocity_mse=False, unfrozen=()):
     """Returns jitted (state, hidden, batch, lr) -> (state, hidden, metrics).
 
     remat=True (TPU.REMAT): the whole forward is rematerialized in the
@@ -149,7 +149,7 @@ def make_flat_train_step(policy, tx, mesh, use_progress=False,
         # params to HBM every step, and their (zero) grad chains become dead
         # code — measured ~3 ms of the feature-mode step
         # (benchmarks/feature_step_profile.py `opt`)
-        mask = opt_lib.trainable_mask(state.params)
+        mask = opt_lib.trainable_mask(state.params, unfrozen=unfrozen)
         params = jax.tree.map(
             lambda p, u, m: p + jnp.where(finite, u, 0.0) if m else p,
             state.params, updates, mask,
@@ -241,7 +241,7 @@ def _hier_losses(high, low, high_params, low_params, batch,
 
 def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
                          remat=False, trunk_fn=None, inflection_coef=None,
-                         valid_velocity_mse=False):
+                         valid_velocity_mse=False, unfrozen=()):
     """One program, two optimizers (AdamW high / Adam low), two LRs.
 
     remat=True (TPU.REMAT): rematerialize the forward in the backward pass
@@ -290,8 +290,8 @@ def make_hier_train_step(high, low, tx_high, tx_low, mesh, donate=True,
         # frozen leaves (BERT + both conv trunks, the bulk of the 176.8M
         # params) pass through untouched — donation aliases them, and their
         # zero-grad chains dead-code-eliminate (see make_flat_train_step)
-        hmask = opt_lib.trainable_mask(state.high.params)
-        lmask = opt_lib.trainable_mask(state.low.params)
+        hmask = opt_lib.trainable_mask(state.high.params, unfrozen=unfrozen)
+        lmask = opt_lib.trainable_mask(state.low.params, unfrozen=unfrozen)
 
         def upd(p, u, m):
             return p + jnp.where(finite, u, 0.0) if m else p

@@ -77,6 +77,22 @@ class BaseTrainer:
     """Shared eval dispatch: poll EVAL_CKPT_PATH_DIR like the reference's
     BaseRLTrainer.eval (SURVEY.md §3.3)."""
 
+    def _unfrozen_names(self) -> tuple:
+        """Backbone subtrees lifted out of the frozen set by explicit
+        deviation flags.  MODEL.BERT.trainable (PARITY.md) unfreezes the
+        instruction embedding; it cannot combine with the feature store,
+        which caches BERT outputs as constants (training/featurize.py)."""
+        cfg = self.config
+        if not getattr(cfg.MODEL.BERT, "trainable", False):
+            return ()
+        if cfg.DAGGER.PRELOAD_TRUNK_FEATURES:
+            raise ValueError(
+                "MODEL.BERT.trainable=True is incompatible with "
+                "DAGGER.PRELOAD_TRUNK_FEATURES: the feature store caches the "
+                "frozen BERT instruction embeddings (training/featurize.py)"
+            )
+        return ("embedding_layer",)
+
     def _find_resume(self):
         """DAGGER.RESUME: locate the newest per-epoch checkpoint in
         CHECKPOINT_FOLDER and the loop counters it recorded.  Returns
@@ -101,14 +117,35 @@ class BaseTrainer:
         meta = ckpt_lib.load_metadata(latest) or {}
         return epoch_done + 1, latest, meta
 
-    def _epoch_range(self, start_epoch: int):
-        """[start, end) epoch window for this process; MAX_EPOCHS_PER_RUN
-        bounds per-process work (resume picks up at `end`)."""
+    def _iteration_plan(self, start_epoch: int):
+        """(dagger_it, epoch_range) schedule with GLOBAL epoch numbering:
+        iteration k trains epochs [k*EPOCHS, (k+1)*EPOCHS), so checkpoint
+        names ckpt.{EPOCHS+epoch} stay monotonic across DAgger iterations
+        (reference-identical for ITERATIONS=1; the reference never actually
+        interleaves collection and training — its PRELOAD=False branch
+        collects then breaks, robo_vln_trainer.py:896-904).
+        MAX_EPOCHS_PER_RUN bounds the per-process total across iterations;
+        resume (global start_epoch) skips fully-trained iterations."""
         cfg = self.config
-        end = cfg.DAGGER.EPOCHS
-        if cfg.DAGGER.MAX_EPOCHS_PER_RUN > 0:
-            end = min(end, start_epoch + cfg.DAGGER.MAX_EPOCHS_PER_RUN)
-        return range(start_epoch, end)
+        per = cfg.DAGGER.EPOCHS
+        budget = cfg.DAGGER.MAX_EPOCHS_PER_RUN
+        if budget <= 0:
+            budget = per * cfg.DAGGER.ITERATIONS
+        plan = []
+        for k in range(cfg.DAGGER.ITERATIONS):
+            begin = max(k * per, start_epoch)
+            end = min((k + 1) * per, begin + budget)
+            if begin >= end:
+                continue  # this iteration is already fully trained
+            budget -= end - begin
+            plan.append((k, range(begin, end)))
+            if budget <= 0:
+                break
+        return plan
+
+    @property
+    def _total_epochs(self) -> int:
+        return self.config.DAGGER.EPOCHS * self.config.DAGGER.ITERATIONS
 
     def eval(self) -> None:
         """Evaluate EVAL_CKPT_PATH_DIR: a single checkpoint, or a folder
@@ -224,7 +261,8 @@ class RoboVLNTrainer(BaseTrainer):
         n_params = sum(x.size for x in jax.tree.leaves(params))
         logger.info(f"agent number of parameters: {n_params}")
 
-        self.tx = opt_lib.masked(opt_lib.adam(), params)
+        unfrozen = self._unfrozen_names()
+        self.tx = opt_lib.masked(opt_lib.adam(), params, unfrozen=unfrozen)
         with init_ctx:
             opt_state = self.tx.init(params)
         self.state = steps_lib.TrainState(params, opt_state, jnp.asarray(0))
@@ -250,7 +288,7 @@ class RoboVLNTrainer(BaseTrainer):
             self._bound_policy(), self.tx, self.mesh,
             use_progress=use_pm, progress_alpha=cfg.MODEL.PROGRESS_MONITOR.alpha,
             donate=cfg.TPU.DONATE, remat=cfg.TPU.REMAT,
-            valid_velocity_mse=vvm,
+            valid_velocity_mse=vvm, unfrozen=unfrozen,
         )
         self.val_step = steps_lib.make_flat_val_step(
             self._bound_policy(), use_progress=use_pm,
@@ -419,7 +457,8 @@ class RoboVLNTrainer(BaseTrainer):
         with MetricsWriter(cfg.TENSORBOARD_DIR) as writer:
             train_steps = int(resume_meta.get("train_steps", 0))
             val_steps = int(resume_meta.get("val_steps", 0))
-            for dagger_it in range(cfg.DAGGER.ITERATIONS):
+            done_through = start_epoch
+            for dagger_it, epochs in self._iteration_plan(start_epoch):
                 if collect:
                     self._update_dataset(dagger_it)
                     logger.info(
@@ -429,8 +468,6 @@ class RoboVLNTrainer(BaseTrainer):
                 if cfg.DAGGER.PRELOAD_TRUNK_FEATURES:
                     # after collection so a freshly grown buffer refeaturizes
                     train_dir, eval_dir = self._featurized_dirs()
-                epochs = self._epoch_range(start_epoch)
-                start_epoch = 0  # resume applies to the first iteration only
                 for epoch in epochs:
                     t0 = time.time()
                     train_steps = self.train_epoch(
@@ -446,19 +483,37 @@ class RoboVLNTrainer(BaseTrainer):
                         f"epoch {epoch} done in {time.time() - t0:.1f}s "
                         f"({train_steps} train steps)"
                     )
-                if epochs.stop < cfg.DAGGER.EPOCHS:
-                    logger.info(
-                        f"stopping after epoch {epochs.stop - 1} "
-                        "(DAGGER.MAX_EPOCHS_PER_RUN); a DAGGER.RESUME run "
-                        f"continues at epoch {epochs.stop}"
-                    )
+                done_through = epochs.stop
+            if done_through < self._total_epochs:
+                logger.info(
+                    f"stopping after epoch {done_through - 1} "
+                    "(DAGGER.MAX_EPOCHS_PER_RUN); a DAGGER.RESUME run "
+                    f"continues at epoch {done_through}"
+                )
 
     # -- sim-facing paths (host-side; see envs/ and eval/) ---------------------
     def _update_dataset(self, data_it: int) -> None:
+        """Grow the buffer to (data_it+1)*UPDATE_SIZE episodes.  Restartable:
+        episodes already in the buffer count toward the target, so a resumed
+        run never double-collects an iteration (the reference instead WIPES
+        the lmdb buffer on every collect run, robo_vln_trainer.py:834-837)."""
+        from robo_vln_tpu.data.trajectory_store import TrajectoryStore
         from robo_vln_tpu.envs.collection import collect_dataset
 
+        target = (data_it + 1) * self.config.DAGGER.UPDATE_SIZE
+        have = 0
+        if os.path.isdir(self.features_dir):
+            with TrajectoryStore(self.features_dir) as store:
+                have = len(store)
+        if have >= target:
+            logger.info(
+                f"collection iteration {data_it}: buffer already holds "
+                f"{have} episodes (target {target}); skipping"
+            )
+            return
         mixer, beta = self._collection_mixer(data_it)
-        collect_dataset(self.config, self.features_dir, mixer=mixer, beta=beta)
+        collect_dataset(self.config, self.features_dir, mixer=mixer,
+                        beta=beta, update_size=target - have)
 
     def _collection_mixer(self, data_it: int):
         """DAGGER.P < 1: true DAgger action mixing with beta = P**data_it

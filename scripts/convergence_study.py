@@ -91,6 +91,27 @@ VALID_MSE = bool(int(os.environ.get("CS_VALID_MSE", "1")))
 # every parameter that touches the instruction is trainable and the loader
 # cost per frame drops ~10x (no 224px decode)
 SIMPLE_CNNS = bool(int(os.environ.get("CS_SIMPLE", "0")))
+# CS_TRAIN_BERT=1: MODEL.BERT.trainable (PARITY.md deviation) — the ONLY way
+# HCM can ground language here: its frozen BERT is random-init in-image, and
+# the r4 study's shuffled-instruction control proved the trained HCM ignores
+# it entirely (val_unseen_shuffled rows ~identical to val_unseen).
+# CS_BERT_HIDDEN/CS_BERT_LAYERS shrink the trainable BERT to a size this
+# data scale can actually train (heads = hidden/64, intermediate = 4*hidden,
+# and VISUAL_LING_ATTN.ins_in_features follows hidden).
+TRAIN_BERT = bool(int(os.environ.get("CS_TRAIN_BERT", "0")))
+BERT_HIDDEN = int(os.environ.get("CS_BERT_HIDDEN", "0"))  # 0 = keep default
+BERT_LAYERS = int(os.environ.get("CS_BERT_LAYERS", "0"))  # 0 = keep default
+# CS_DAGGER_P < 1: true DAgger arm (envs/dagger.py) — collection becomes a
+# per-iteration trainer stage (PRELOAD=False, CS_DAGGER_ITERS iterations of
+# EPOCHS/iters epochs each); iteration k>0 executes the mixed policy with
+# beta = P**k while labels stay the expert's.
+DAGGER_P = float(os.environ.get("CS_DAGGER_P", "1.0"))
+DAGGER_ITERS = int(os.environ.get("CS_DAGGER_ITERS", "3"))
+# checkpoint names are ckpt.{DAGGER.EPOCHS + global_epoch}; the DAgger arm
+# splits the epoch budget across iterations, so the name offset shrinks
+EPOCHS_PER_ITER = (max(EPOCHS // DAGGER_ITERS, 1) if DAGGER_P < 1.0
+                   else EPOCHS)
+TOTAL_EPOCHS = (EPOCHS_PER_ITER * DAGGER_ITERS if DAGGER_P < 1.0 else EPOCHS)
 # instruction pad length (LangNav programs are <=40 tokens; the robo-vln
 # default 200 wastes a 5x factor of instruction-LSTM scan steps)
 INSTR_LEN = int(os.environ.get("CS_INSTR_LEN", "200"))
@@ -152,9 +173,27 @@ def build_config(data_dir: str):
     d.COLLECT_ACTION_NOISE = NOISE  # DART-style recovery collection
     d.MAX_INSTRUCTION_LEN = INSTR_LEN
     cfg.TPU.VALID_MASK_VELOCITY_MSE = VALID_MSE
+    if DAGGER_P < 1.0:
+        # true-DAgger arm: collection happens INSIDE train(), one mixed
+        # rollout pass per iteration (envs/dagger.py); same TOTAL epoch
+        # budget as the BC arms (EPOCHS split across iterations)
+        d.PRELOAD_LMDB_FEATURES = False
+        d.P = DAGGER_P
+        d.ITERATIONS = DAGGER_ITERS
+        d.EPOCHS = max(EPOCHS // DAGGER_ITERS, 1)
+        d.UPDATE_SIZE = N_TRAIN  # per iteration; buffer aggregates
     if SIMPLE_CNNS:
         cfg.MODEL.DEPTH_ENCODER.cnn_type = "SimpleDepthCNN"
         cfg.MODEL.RGB_ENCODER.cnn_type = "SimpleRGBCNN"
+    if TRAIN_BERT:
+        cfg.MODEL.BERT.trainable = True  # PARITY.md deviation (see knob doc)
+    if BERT_LAYERS > 0:
+        cfg.MODEL.BERT.num_layers = BERT_LAYERS
+    if BERT_HIDDEN > 0:
+        cfg.MODEL.BERT.hidden_size = BERT_HIDDEN
+        cfg.MODEL.BERT.num_heads = max(BERT_HIDDEN // 64, 1)
+        cfg.MODEL.BERT.intermediate_size = 4 * BERT_HIDDEN
+        cfg.MODEL.VISUAL_LING_ATTN.ins_in_features = BERT_HIDDEN
     cfg.TPU.SYNC_FROZEN_TRUNKS_ON_INIT = True  # random-init trunks (no files)
     cfg.CHECKPOINT_FOLDER = os.path.join(OUT, "ckpts")
     cfg.TENSORBOARD_DIR = os.path.join(OUT, "tb")
@@ -196,9 +235,9 @@ def pick_checkpoints(names):
 
 
 def idx_of(ckpt_name: str) -> int:
-    """Training epoch (0-based) encoded in 'ckpt.{EPOCHS+epoch}'."""
+    """Training epoch (0-based) encoded in 'ckpt.{EPOCHS_PER_ITER+epoch}'."""
     try:
-        return int(ckpt_name.split(".")[-1]) - EPOCHS
+        return int(ckpt_name.split(".")[-1]) - EPOCHS_PER_ITER
     except ValueError:
         return -1
 
@@ -386,18 +425,21 @@ def orchestrate():
     print(f"[data] {N_TRAIN} train / {N_VAL} val_seen / {N_VAL} val_unseen "
           f"LangNav episodes -> {data_dir()}", flush=True)
 
-    run_stage("collect")
+    if DAGGER_P >= 1.0:
+        run_stage("collect")
+    # else: the DAgger arm collects INSIDE train() (iteration 0 is the pure
+    # expert pass, beta = P**0 = 1; later iterations mix the live policy)
 
     # bounded-lifetime training processes until all epochs are checkpointed
     t0 = time.time()
-    while len(ckpt_names()) < EPOCHS:
+    while len(ckpt_names()) < TOTAL_EPOCHS:
         before = len(ckpt_names())
         run_stage("train")
         if len(ckpt_names()) <= before:
             raise SystemExit(
                 f"train stage made no progress ({before} checkpoints)"
             )
-        print(f"[train] {len(ckpt_names())}/{EPOCHS} epochs "
+        print(f"[train] {len(ckpt_names())}/{TOTAL_EPOCHS} epochs "
               f"({time.time() - t0:.0f}s elapsed)", flush=True)
 
     for split in ("val_seen", "val_unseen"):
