@@ -168,8 +168,8 @@ def collect_dataset(config, features_dir: str, env=None,
     code, so threads don't scale collection; processes do.
 
     mixer + beta < 1: DAgger policy-mixed rollouts (envs/dagger.py).  The
-    mixer holds live policy params, so this path is serial — worker
-    processes would need param shipping per iteration."""
+    mixer holds a host snapshot of the policy params, so this path is
+    serial — worker processes would need param shipping per iteration."""
     update_size = update_size or config.DAGGER.UPDATE_SIZE
     if mixer is not None and beta < 1.0 and env is None \
             and config.NUM_PROCESSES > 1:

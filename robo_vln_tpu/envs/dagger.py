@@ -20,6 +20,13 @@ must track the true history), and its action is executed only when the
 per-step coin exceeds beta.  `prev_actions` fed to the policy are the
 EXECUTED actions (what the policy would see at eval time); the stored label
 `prev_actions` remain the expert stream exactly as in pure-expert collection.
+
+The mixer always runs on the HOST CPU backend with a one-time parameter
+snapshot (collection never overlaps training, so the snapshot is the live
+state): a single-sample policy step on the tunneled TPU is round-trip-
+latency-bound, and the tunnel client pins every host->device transfer
+buffer until process exit (docs/TPU_ENV_NOTES.md) — one obs transfer per
+30 Hz sim step would leak GBs per rollout pass.
 """
 
 from __future__ import annotations
@@ -41,25 +48,29 @@ class PolicyMixer:
     """
 
     def __init__(self, step: Callable, init_state: Callable, config):
+        import jax
+
         self._step = step  # (obs_np, state, prev, mask) -> (v, w), state
         self._init_state = init_state
         self._uuid = config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID
         self._pad_to = config.DAGGER.MAX_INSTRUCTION_LEN
+        # host-CPU execution (see module docstring: tunnel latency + the
+        # pinned-transfer-buffer leak make per-step TPU dispatch a non-starter)
+        self._dev = jax.devices("cpu")[0]
         self.reset()
 
     def reset(self) -> None:
-        import jax.numpy as jnp
+        import jax
 
-        self._state = self._init_state()
-        self._prev = jnp.zeros((1, 2))
-        self._mask = jnp.zeros((1,))
+        with jax.default_device(self._dev):
+            self._state = self._init_state()
+        self._prev = np.zeros((1, 2), np.float32)
+        self._mask = np.zeros((1,), np.float32)
 
     def set_prev(self, v: float, w: float) -> None:
         """Record the EXECUTED action; consumed by the next step's forward."""
-        import jax.numpy as jnp
-
-        self._prev = jnp.asarray([[v, w]], jnp.float32)
-        self._mask = jnp.ones((1,))
+        self._prev = np.asarray([[v, w]], np.float32)
+        self._mask = np.ones((1,), np.float32)
 
     def step(self, observations) -> Tuple[float, float]:
         """One policy tick on (already transform_obs'd) observations.
@@ -67,14 +78,15 @@ class PolicyMixer:
         Advances the recurrent state unconditionally; the caller decides
         whether the returned action is executed.
         """
-        import jax.numpy as jnp
+        import jax
 
         keep = ("rgb", "depth", self._uuid, "progress")
         obs = {k: v for k, v in observations.items() if k in keep}
         obs = batch_obs(obs, pad_instruction_to=self._pad_to)
-        obs = {k: jnp.asarray(v) for k, v in obs.items()}
-        action, self._state = self._step(obs, self._state, self._prev,
-                                         self._mask)
+        obs = {k: np.asarray(v) for k, v in obs.items()}
+        with jax.default_device(self._dev):
+            action, self._state = self._step(obs, self._state, self._prev,
+                                             self._mask)
         a = np.asarray(action)[0]
         return float(a[0]), float(a[1])
 
@@ -85,6 +97,9 @@ class PolicyMixer:
         import jax
 
         bound = trainer._bound_policy()
+        # one-time host snapshot: collection never overlaps training, and
+        # live device params would force a TPU transfer per 30 Hz step
+        params = jax.device_get(trainer.state.params)
 
         @jax.jit
         def step_fn(params, obs, hidden, prev, mask):
@@ -94,9 +109,7 @@ class PolicyMixer:
             return actions, hidden
 
         def step(obs, hidden, prev, mask):
-            actions, hidden = step_fn(
-                trainer.state.params, obs, hidden, prev, mask
-            )
+            actions, hidden = step_fn(params, obs, hidden, prev, mask)
             return actions, hidden
 
         return cls(step, lambda: trainer.policy.initial_hidden(1),
@@ -113,6 +126,9 @@ class PolicyMixer:
         low_b = _bind(trainer.low, trainer._low_extra)
         trunk_fn = trainer._maybe_trunk_fn()
         uuid = trainer.config.TASK_CONFIG.TASK.INSTRUCTION_SENSOR_UUID
+        # one-time host snapshot (see for_flat)
+        high_params = jax.device_get(trainer.state.high.params)
+        low_params = jax.device_get(trainer.state.low.params)
 
         embed_fn = jax.jit(
             lambda hp, ids: high_b.apply(
@@ -138,14 +154,11 @@ class PolicyMixer:
                 emb_cache["ids"], ids
             ):
                 emb_cache["ids"] = ids
-                emb_cache["emb"] = embed_fn(
-                    trainer.state.high.params, jnp.asarray(ids)
-                )
+                emb_cache["emb"] = embed_fn(high_params, jnp.asarray(ids))
             obs = {**obs, "instruction_embedding": emb_cache["emb"]}
             hh, lh = state
             actions, hh, lh = step_fn(
-                trainer.state.high.params, trainer.state.low.params,
-                obs, hh, lh, prev, mask,
+                high_params, low_params, obs, hh, lh, prev, mask,
             )
             return actions, (hh, lh)
 
