@@ -31,6 +31,15 @@ OWN subprocess: params initialize on the host CPU, the single big compile is
 the measured program (B x T frames, scalar fetch), and the per-call overhead
 measured with a trivial jitted function is subtracted.
 per_frame = (t_prog - t_trivial) / (B*T).  See docs/TPU_ENV_NOTES.md.
+
+Budget contract (round-5): the whole run is bounded by BENCH_BUDGET_S
+(default 1500 s) of wall clock.  The FLOPs analysis (CPU-only, never touches
+the tunnel) and the headline train measurement run first, and a complete
+best-so-far JSON line is (re)printed after EVERY successful measurement —
+the driver parses the LAST JSON line of the tail, so a timeout/SIGTERM
+mid-extras still leaves a valid headline line behind.  Every further
+measurement (forward, batch sweep, feature mode) launches only if the
+remaining budget covers its worst-case estimate.
 """
 
 import json
@@ -43,6 +52,17 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_cache.json")
+
+# global wall-clock budget: the round-4 bench (7+ unbudgeted subprocesses,
+# single JSON line at the very end) blew the driver window and lost ALL
+# measurements (BENCH_r04.json rc=124, empty tail).  Everything below is
+# gated on _remaining().
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500.0))
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
 
 
 def _timed(fn, xs, reps):
@@ -343,11 +363,26 @@ def _measure_in_subprocess(which: str, tries: int = 2, extra_env=None,
         env["BENCH_FORCE_CPU"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
     for attempt in range(tries):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--measure", which],
-            cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True, timeout=3600,
-        )
+        left = _remaining()
+        if left < 90:
+            print(f"# bench {which}: skipped, {left:.0f}s of budget left",
+                  file=sys.stderr)
+            return None
+        # the child's device-wait loop must fit inside what's left, and the
+        # child itself is hard-capped at the remaining budget (+grace)
+        env["BENCH_DEVICE_WAIT"] = str(int(max(60, min(600, left * 0.5))))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--measure", which],
+                cwd=REPO, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+                timeout=max(120, min(3300, left + 30)),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# bench {which} attempt {attempt} timed out",
+                  file=sys.stderr)
+            continue
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
                 parsed = json.loads(line)
@@ -360,8 +395,8 @@ def _measure_in_subprocess(which: str, tries: int = 2, extra_env=None,
             + proc.stderr[-500:].replace("\n", " | "),
             file=sys.stderr,
         )
-        if attempt < tries - 1:
-            time.sleep(120)
+        if attempt < tries - 1 and _remaining() > 300:
+            time.sleep(60)
     return None
 
 
@@ -382,7 +417,12 @@ def main():
             jax.config.update("jax_platforms", "cpu")
             print(json.dumps(measure_flops(which[len("flops_"):])))
             return
-        wait_for_device()
+        if not wait_for_device(
+            max_wait=float(os.environ.get("BENCH_DEVICE_WAIT", 900))
+        ):
+            print("# device never answered within BENCH_DEVICE_WAIT",
+                  file=sys.stderr)
+            sys.exit(3)
         if which == "forward":
             fps = measure_tpu_fps()
         elif which == "train_feat":
@@ -393,84 +433,135 @@ def main():
         return
 
     cache = get_torch_baselines()
-    # raw-step batch sweep: the headline is the best measured config, and the
-    # sweep records where the knee is (BENCH_SWEEP="" restores single-config)
-    sweep = [
-        int(x) for x in os.environ.get("BENCH_SWEEP", "4,8").split(",") if x
-    ] or [4]
-    train_by_batch = {}
-    for b in sweep:
-        fps = _measure_fps("train", tries=1 if len(sweep) > 1 else 2,
-                           extra_env={"BENCH_BATCH": str(b)})
-        if fps is not None:
-            train_by_batch[b] = fps
-    if not train_by_batch and len(sweep) > 1:  # one retry at the default
-        fps = _measure_fps("train")
-        if fps is not None:
-            train_by_batch[sweep[0]] = fps
-    best_b = max(train_by_batch, key=train_by_batch.get) \
-        if train_by_batch else None
-    train_fps = train_by_batch.get(best_b)
-    fwd_fps = _measure_fps("forward")
-    feat_fps = _measure_fps("train_feat", tries=1)
-    if train_fps is None and fwd_fps is None:
-        raise RuntimeError("both bench subprocesses failed")
     bench_t = int(os.environ.get("BENCH_T", 50))
-    if train_fps is not None:
-        result = {
-            "metric": "HCM IL train-step throughput",
-            "value": round(float(train_fps), 2),
-            "unit": "frames/sec/chip",
-            "vs_baseline": round(
-                float(train_fps / cache["torch_cpu_train_fps"]), 2
-            ),
-            "batch": best_b,
-            "t": bench_t,
-            "step_ms": round(best_b * bench_t / float(train_fps) * 1e3, 2),
-        }
-        if len(train_by_batch) > 1:
-            result["train_fps_by_batch"] = {
-                str(b): round(float(f), 2)
-                for b, f in sorted(train_by_batch.items())
+    base_b = int(os.environ.get("BENCH_BATCH", 4))
+    # extra sweep points beyond the headline batch (time-permitting)
+    sweep = [
+        int(x) for x in os.environ.get("BENCH_SWEEP", "4,8").split(",")
+        if x and int(x) != base_b
+    ]
+
+    st = {"train_by_batch": {}, "flops_by_batch": {}, "fwd": None,
+          "feat": None, "feat16": None}
+
+    def emit():
+        """(Re)print the complete best-so-far JSON line — the driver parses
+        the LAST JSON line of the tail, so every successful measurement
+        must leave a valid headline behind immediately."""
+        tbb, fbb = st["train_by_batch"], st["flops_by_batch"]
+        best_b = max(tbb, key=tbb.get) if tbb else None
+        if best_b is not None:
+            train_fps = tbb[best_b]
+            result = {
+                "metric": "HCM IL train-step throughput",
+                "value": round(float(train_fps), 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(
+                    float(train_fps / cache["torch_cpu_train_fps"]), 2
+                ),
+                "batch": best_b,
+                "t": bench_t,
+                "step_ms": round(
+                    best_b * bench_t / float(train_fps) * 1e3, 2
+                ),
             }
-    else:  # headline falls back to the measurement that succeeded — the
-        # contract is one JSON line with numeric value/vs_baseline
-        result = {
-            "metric": "HCM teacher-forced policy forward throughput",
-            "value": round(float(fwd_fps), 2),
-            "unit": "frames/sec/chip",
-            "vs_baseline": round(float(fwd_fps / cache["torch_cpu_fps"]), 2),
-        }
-    if fwd_fps is not None:
-        result["forward_fps"] = round(float(fwd_fps), 2)
-        result["forward_vs_baseline"] = round(
-            float(fwd_fps / cache["torch_cpu_fps"]), 2
-        )
-    if feat_fps is not None:
-        # feature-store training mode (DAGGER.PRELOAD_TRUNK_FEATURES)
-        result["feature_train_fps"] = round(float(feat_fps), 2)
-        # feature mode has no conv activations, so the per-chip batch can
-        # grow to amortize the sequential LSTM latency — record the big-batch
-        # point too (r3 measured ~1.5x from B=4 to B=16)
-        feat16 = _measure_fps("train_feat", tries=1,
-                              extra_env={"BENCH_BATCH": "16"})
-        if feat16 is not None:
-            result["feature_train_fps_b16"] = round(float(feat16), 2)
-    # hardware efficiency of the headline train config: analytic FLOPs from
-    # HLO cost analysis (CPU-pinned lowering) x measured rate / chip peak
-    if train_fps is not None:
+            if len(tbb) > 1:
+                result["train_fps_by_batch"] = {
+                    str(b): round(float(f), 2) for b, f in sorted(tbb.items())
+                }
+            # hardware efficiency: analytic FLOPs (HLO cost analysis at the
+            # headline batch, or the nearest measured batch) x rate / peak
+            fl_b = best_b if best_b in fbb else (
+                sorted(fbb)[0] if fbb else None
+            )
+            if fl_b is not None:
+                tflops = float(train_fps) * fbb[fl_b] / 1e12
+                result["flops_per_frame"] = round(fbb[fl_b])
+                result["tflops"] = round(tflops, 2)
+                result["mfu"] = round(tflops / PEAK_BF16_TFLOPS, 4)
+                result["peak_tflops_bf16"] = PEAK_BF16_TFLOPS
+                if fl_b != best_b:
+                    result["flops_batch"] = fl_b
+        elif st["fwd"] is not None:  # headline falls back to the
+            # measurement that succeeded — the contract is one JSON line
+            # with numeric value/vs_baseline
+            result = {
+                "metric": "HCM teacher-forced policy forward throughput",
+                "value": round(float(st["fwd"]), 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(
+                    float(st["fwd"] / cache["torch_cpu_fps"]), 2
+                ),
+            }
+        else:
+            return
+        if st["fwd"] is not None:
+            result["forward_fps"] = round(float(st["fwd"]), 2)
+            result["forward_vs_baseline"] = round(
+                float(st["fwd"] / cache["torch_cpu_fps"]), 2
+            )
+        if st["feat"] is not None:
+            # feature-store training mode (DAGGER.PRELOAD_TRUNK_FEATURES)
+            result["feature_train_fps"] = round(float(st["feat"]), 2)
+        if st["feat16"] is not None:
+            result["feature_train_fps_b16"] = round(float(st["feat16"]), 2)
+        result["budget_s"] = BUDGET_S
+        result["elapsed_s"] = round(time.time() - T0, 1)
+        result["torch_threads"] = cache.get("torch_threads")
+        print(json.dumps(result), flush=True)
+
+    def flops_for(b):
         fl = _measure_in_subprocess(
             "flops_train", tries=1, cpu=True,
-            extra_env={"BENCH_BATCH": str(best_b)},
+            extra_env={"BENCH_BATCH": str(b)},
         )
         if fl and fl.get("flops_per_frame"):
-            tflops = float(train_fps) * fl["flops_per_frame"] / 1e12
-            result["flops_per_frame"] = round(fl["flops_per_frame"])
-            result["tflops"] = round(tflops, 2)
-            result["mfu"] = round(tflops / PEAK_BF16_TFLOPS, 4)
-            result["peak_tflops_bf16"] = PEAK_BF16_TFLOPS
-    result["torch_threads"] = cache.get("torch_threads")
-    print(json.dumps(result))
+            st["flops_by_batch"][b] = fl["flops_per_frame"]
+
+    # 1. FLOPs analysis first: CPU-only lowering, never touches the flaky
+    #    tunnel, and makes the FIRST train line carry tflops/mfu already.
+    if _remaining() > 600:
+        flops_for(base_b)
+
+    # 2. the headline: full hierarchical IL train step at the default batch
+    fps = _measure_fps("train", tries=2, extra_env={"BENCH_BATCH": str(base_b)})
+    if fps is not None:
+        st["train_by_batch"][base_b] = fps
+        emit()
+
+    # 3..n extras, strictly time-permitting, cheapest-information-first;
+    #    each success immediately re-emits the full line.  A device
+    #    measurement behind this tunnel is wait + ~7 min compile + reps.
+    DEVICE_EST = 540
+    if _remaining() > DEVICE_EST and st["fwd"] is None:
+        st["fwd"] = _measure_fps("forward", tries=1)
+        if st["fwd"] is not None:
+            emit()
+    for b in sweep:
+        if _remaining() < DEVICE_EST:
+            break
+        fps = _measure_fps("train", tries=1, extra_env={"BENCH_BATCH": str(b)})
+        if fps is not None:
+            st["train_by_batch"][b] = fps
+            if max(st["train_by_batch"], key=st["train_by_batch"].get) == b \
+                    and _remaining() > 240:
+                flops_for(b)  # keep mfu tied to the (new) headline batch
+            emit()
+    if _remaining() > DEVICE_EST:
+        st["feat"] = _measure_fps("train_feat", tries=1)
+        if st["feat"] is not None:
+            emit()
+    if st["feat"] is not None and _remaining() > DEVICE_EST:
+        # feature mode has no conv activations, so the per-chip batch can
+        # grow to amortize the sequential LSTM latency (r3: ~1.5x at B=16)
+        st["feat16"] = _measure_fps("train_feat", tries=1,
+                                    extra_env={"BENCH_BATCH": "16"})
+        if st["feat16"] is not None:
+            emit()
+
+    if not st["train_by_batch"] and st["fwd"] is None:
+        raise RuntimeError("all bench subprocesses failed")
+    emit()  # final (possibly identical) line
 
 
 if __name__ == "__main__":

@@ -123,7 +123,11 @@ def evaluate_agent(config) -> Dict[str, float]:
         "ExpertAgent": ExpertAgent,
     }
     assert name in agents, name
-    agent = agents[name]()
+    # the expert must track at the SAME control period the collection expert
+    # uses (config.DAGGER.time_step) — the class default 1/30 would misstate
+    # the upper-bound row under a different control rate (ADVICE r4)
+    kwargs = {"dt": config.DAGGER.time_step} if name == "ExpertAgent" else {}
+    agent = agents[name](**kwargs)
 
     gt_json = {}
     gt_path = config.TASK_CONFIG.TASK.NDTW.GT_PATH.format(split=split)

@@ -20,6 +20,7 @@ num_workers changes batch order, exactly like a torch DataLoader.
 
 import atexit
 import functools
+import gc
 import multiprocessing as mp
 import queue as queue_mod
 import weakref
@@ -152,6 +153,7 @@ def parallel_batch_iterator(
     use_iw: bool = True,
     inflection_weight_coef: float = 1.0,
     segments_per_worker: int = 2,
+    stall_timeout_s: float = 300.0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield collated static-shape batches produced by ``num_workers``
     decode/collate processes (see module docstring).  Falls back to the
@@ -213,14 +215,46 @@ def parallel_batch_iterator(
             w += 1
             if worker["done"]:
                 continue
+            poll_s = max(min(20.0, stall_timeout_s / 5.0), 0.1)
+            stalls = 0
             while True:
                 try:
-                    kind, name, meta, small = worker["out"].get(timeout=20)
+                    kind, name, meta, small = worker["out"].get(
+                        timeout=poll_s
+                    )
                     break
                 except queue_mod.Empty:
                     if not worker["proc"].is_alive():
                         raise RuntimeError(
                             "loader worker died without reporting an error"
+                        )
+                    stalls += 1
+                    if stalls == 1:
+                        # benign cause first: reference cycles can delay the
+                        # segment finalizers past the consumer's actual use —
+                        # a collection fires them and unblocks the worker
+                        gc.collect()
+                    if stalls * poll_s >= stall_timeout_s:
+                        # the worker is alive but has shipped nothing for
+                        # stall_timeout_s: its free-segment pool is exhausted
+                        # (it blocks on free_q.get() until the consumer drops
+                        # its batch references) — a silent livelock without
+                        # this diagnostic (ADVICE r4)
+                        raise RuntimeError(
+                            f"loader worker {(w - 1) % num_workers} produced "
+                            f"nothing for {stalls * poll_s:.0f}s: its "
+                            f"{segments_per_worker}-segment free pool is "
+                            "likely exhausted because the consumer still "
+                            f"holds >= {segments_per_worker} live batches "
+                            "from it (deeper prefetch, cached arrays, or "
+                            "delayed GC). Drop batch references promptly or "
+                            "raise segments_per_worker."
+                        )
+                    if stalls * poll_s >= 40.0 and stalls % 3 == 0:
+                        logger.warning(
+                            f"parallel loader: worker {(w - 1) % num_workers}"
+                            f" stalled {stalls * poll_s:.0f}s waiting for a "
+                            "free shared-memory segment"
                         )
             if kind == "done":
                 worker["done"] = True

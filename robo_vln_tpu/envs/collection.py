@@ -188,15 +188,20 @@ def collect_dataset(config, features_dir: str, env=None,
         env = construct_env(_collection_config(config))
 
     vel_control = VelocityControl()
-    noise_rng = np.random.default_rng(config.TASK_CONFIG.SEED)
-    # independent stream: beta=1.0 collection is bit-identical with or
-    # without a mixer attached
-    mix_rng = np.random.default_rng(config.TASK_CONFIG.SEED + 7919) \
-        if mixer is not None else None
     collected = 0
     store = TrajectoryStore(features_dir, writable=True)
     try:
         start_id = len(store)
+        # fold the buffer offset into the seeds: each DAgger iteration (and
+        # each restart-grown chunk) samples FRESH perturbations/mixing
+        # decisions instead of replaying the iteration-0 stream, which would
+        # correlate recovery states across iterations (ADVICE r4)
+        noise_rng = np.random.default_rng(config.TASK_CONFIG.SEED + start_id)
+        # independent stream: beta=1.0 collection is bit-identical with or
+        # without a mixer attached
+        mix_rng = np.random.default_rng(
+            config.TASK_CONFIG.SEED + 7919 + start_id
+        ) if mixer is not None else None
         for _ in range(update_size):
             ep = _collect_episode(env, config, tokenizer, is_bert, vel_control,
                                   noise_rng=noise_rng, mixer=mixer, beta=beta,

@@ -199,7 +199,9 @@ def test_convergence_study_helpers(tmp_path, monkeypatch):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    mod.EPOCHS = 10
+    # ckpt names are offset by the per-iteration epoch budget (equal to
+    # EPOCHS for the BC arms; EPOCHS//ITERATIONS for the DAgger arm)
+    mod.EPOCHS_PER_ITER = 10
     assert mod.idx_of("ckpt.10") == 0
     assert mod.idx_of("ckpt.19") == 9
     assert mod.idx_of("ckpt.weird") == -1

@@ -119,3 +119,23 @@ def test_parallel_falls_back_below_two_workers(tmp_path, rng):
         path, 2, BUCKETS, L, num_workers=1, seed=5,
     ))
     assert fallback == single
+
+
+def test_parallel_stall_diagnostic_on_retained_batches(tmp_path, rng):
+    """A consumer that retains >= segments_per_worker live batches from one
+    worker exhausts its free-segment pool; the worker blocks on free_q.get()
+    and (pre-fix) the parent spun on Empty forever — a silent livelock
+    (ADVICE r4 medium).  The drain loop must raise a diagnostic naming the
+    exhausted pool instead."""
+    path = _build_store(tmp_path, rng, n_eps=12)
+    retained = []
+    # stall_timeout must outlast worker spawn+import (several seconds on a
+    # 1-CPU host) so the first batches actually arrive before the livelock
+    it = parallel_batch_iterator(
+        path, 2, BUCKETS, L, num_workers=2, seed=0,
+        segments_per_worker=1, stall_timeout_s=25.0,
+    )
+    with pytest.raises(RuntimeError, match="free pool"):
+        for b in it:
+            retained.append(b)  # never release -> pool exhausts
+    assert retained, "expected at least one batch before the stall"
