@@ -113,6 +113,9 @@ _C.EVAL.EVAL_NONLEARNING = False
 _C.EVAL.NONLEARNING = ConfigTree()
 _C.EVAL.NONLEARNING.AGENT = "RandomAgent"
 _C.EVAL.VAL_LOG_DIR = "validation_logging"
+# per-episode position traces -> <writer.log_dir>/trajectories.jsonl; feeds
+# the device-vs-host eval-driver parity study (scripts/eval_parity.py)
+_C.EVAL.DUMP_TRAJECTORIES = False
 
 # ---------------------------------------------------------------------------
 # DAGGER / IL loop (reference config/default.py:57-84)

@@ -350,6 +350,30 @@ class _DuplicateBreaker:
         return False
 
 
+def _dump_trajectory(config, writer, checkpoint_index, episode, locations,
+                     stats) -> None:
+    """EVAL.DUMP_TRAJECTORIES: append this episode's position trace to
+    <writer.log_dir>/trajectories.jsonl.  Both the host drivers and the
+    fused on-device driver ride this, so scripts/eval_parity.py can bound
+    their per-episode divergence on identical inputs (VERDICT r4 next #4)."""
+    if not config.EVAL.get("DUMP_TRAJECTORIES", False):
+        return
+    log_dir = getattr(writer, "log_dir", None)
+    if not log_dir:
+        return
+    row = {
+        "episode_id": str(episode.episode_id),
+        "ckpt_index": int(checkpoint_index),
+        "success": float(stats.get("success", 0.0) or 0.0),
+        "actual_success": float(stats.get("actual_success", 0.0) or 0.0),
+        "ndtw": float(stats.get("ndtw", 0.0) or 0.0),
+        "steps": len(locations),
+        "locations": [[round(float(x), 5) for x in p] for p in locations],
+    }
+    with open(os.path.join(log_dir, "trajectories.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
 def _run_rollout(
     config,
     env,
@@ -453,6 +477,11 @@ def _run_rollout(
             stats["ndtw"] = ndtw(locations, gt_locations, sd)
             stats["actual_success"] = 1.0 if episode_success else 0.0
             stats_episodes[ep.episode_id] = stats
+            _dump_trajectory(
+                config, writer, checkpoint_index, ep,
+                locations + [list(env.habitat_env._sim.get_agent_position())],
+                stats,
+            )
             if breaker.record(was_new, len(stats_episodes)):
                 break
             if config.VIDEO_OPTION:
@@ -575,6 +604,13 @@ def _run_rollout_batched(
                     stats["ndtw"] = ndtw(locations[i], gt_locations, sd)
                     stats["actual_success"] = 1.0 if episode_success else 0.0
                     stats_episodes[ep.episode_id] = stats
+                    _dump_trajectory(
+                        config, writer, checkpoint_index, ep,
+                        locations[i] + [list(
+                            envs[i].habitat_env._sim.get_agent_position()
+                        )],
+                        stats,
+                    )
                 if breaker.record(was_new, len(stats_episodes)):
                     stop_loop = True
                 observations = pool.reset_at(i)
@@ -893,9 +929,17 @@ def _eval_on_device(trainer, config, writer, checkpoint_index: int, extra,
             instruction_obs, init_hidden(bs),
         ))
         for i, ep in enumerate(chunk[:real]):
-            stats_episodes[ep.episode_id] = ondevice.episode_stats(
-                result, ep, i, gt_json, sd
-            )
+            stats = ondevice.episode_stats(result, ep, i, gt_json, sd)
+            stats_episodes[ep.episode_id] = stats
+            # same trace the stats were computed from: start + per-tick sim
+            # positions (ondevice.episode_stats locations construction)
+            n_steps = int(result["steps"][i])
+            trace = [list(map(float, np.asarray(ep.start_position)))] + [
+                list(map(float, p))
+                for p in np.asarray(result["positions"][:max(n_steps, 1), i])
+            ]
+            _dump_trajectory(config, writer, checkpoint_index, ep, trace,
+                             stats)
         logger.info(
             f"on-device eval: {len(stats_episodes)}/{len(episodes)} episodes "
             f"({int(result['n_ticks'])} ticks for this batch)"

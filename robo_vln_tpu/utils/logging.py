@@ -37,6 +37,7 @@ def add_filehandler(path: str) -> None:
 class MetricsWriter:
     def __init__(self, log_dir: str, flush_secs: int = 30):
         os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
         try:

@@ -85,13 +85,15 @@ def load_rows(out_dirs):
 
 
 def dedup(rows):
-    """One row per (arm, model, base split, ckpt); most episodes wins so
-    re-powered eval passes supersede the original low-power rows."""
+    """One row per (arm, model, base split, ckpt, epoch); most episodes wins
+    so re-powered eval passes supersede the original low-power rows.  Epoch
+    rides in the key so legacy rows without a ckpt name stay distinct."""
     best = {}
     for i, r in enumerate(rows):
         r = dict(r)
         r["split"] = base_split(r.get("split", "?"))
-        key = (r.get("arm"), r.get("model", "?"), r["split"], r.get("ckpt"))
+        key = (r.get("arm"), r.get("model", "?"), r["split"],
+               r.get("ckpt"), r.get("epoch"))
         prev = best.get(key)
         # ties -> later row wins (files are read in sorted order; re-eval
         # appends later)

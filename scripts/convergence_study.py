@@ -303,6 +303,11 @@ def stage_eval():
     row_split = f"{split}_shuffled" if shuffled else split
     if host_check:
         row_split += "_host"
+    # CS_ROWS_TAG: write rows/traces under a fresh label (fresh done-set) —
+    # used by re-power and parity passes over already-evaluated checkpoints
+    tag = os.environ.get("CS_ROWS_TAG", "")
+    if tag:
+        row_split += f"_{tag}"
     rows_path = os.path.join(OUT, f"convergence_{row_split}.jsonl")
     done = set()
     if os.path.exists(rows_path):
@@ -312,6 +317,10 @@ def stage_eval():
     ecfg = cfg.clone().defrost()
     ecfg.EVAL.SPLIT = split
     ecfg.EVAL.SHUFFLE_INSTRUCTIONS = shuffled
+    # per-episode traces -> tb_eval/<row_split>/trajectories.jsonl (cheap:
+    # <=500x3 floats/episode) — feeds scripts/eval_parity.py's device-vs-host
+    # divergence bound without re-running anything
+    ecfg.EVAL.DUMP_TRAJECTORIES = True
     if host_check:
         ecfg.EVAL.ON_DEVICE = False
         # parity subset: first HOST_EPISODES episodes, compared per-episode
@@ -320,7 +329,10 @@ def stage_eval():
     ecfg.freeze()
     trainer = trainer_class()(ecfg)
     picked = pick_checkpoints(ckpt_names())
-    if host_check and picked:
+    only = os.environ.get("CS_ONLY_CKPT", "")
+    if only:  # a single named checkpoint (e.g. the best one, parity pass)
+        picked = [only]
+    elif host_check and picked:
         picked = picked[-1:]  # final checkpoint only: a parity row, not a curve
     with open(rows_path, "a") as rf:
         for idx, name in enumerate(picked):

@@ -326,8 +326,13 @@ def test_collect_study_results_report(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout
     out = proc.stdout
-    assert "| hcm | 0.0 -> 0.5 | 0.0 -> 0.4 | 0.2 -> 0.7 |" in out
-    assert "| hcm | shuffled instructions | 0.1 | 0.05 | 0.3 |" in out
-    assert "| nonlearning_RandomAgent | random baseline | 0.05 |" in out
+    # round-5 format: leading arm column (the study dir), best-checkpoint
+    # grounding rows carry the epoch, rates get a Wilson CI when the row
+    # records its episode count (these legacy rows do not)
+    assert "| hcm | hcm | 0.0 -> 0.5 | 0.0 -> 0.4 | 0.2 -> 0.7 |" in out
+    assert "| hcm | hcm | shuffled instructions | 8 | 0.1 | 0.05 | 0.3 |" \
+        in out
+    assert "| nonlearning_RandomAgent | random baseline | — | 0.05 |" in out
     assert "host f64 driver | 0.5 | 0.39 | 0.69" in out
+    assert "Best checkpoint" in out
     assert "Full per-epoch table" in out
