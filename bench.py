@@ -362,6 +362,7 @@ def _measure_in_subprocess(which: str, tries: int = 2, extra_env=None,
     if cpu:
         env["BENCH_FORCE_CPU"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
+    t_start = time.time()
     for attempt in range(tries):
         left = _remaining()
         if left < 90:
@@ -389,6 +390,8 @@ def _measure_in_subprocess(which: str, tries: int = 2, extra_env=None,
             except json.JSONDecodeError:
                 continue
             if isinstance(parsed, dict):
+                if not cpu:  # feed the adaptive extras estimate
+                    _DEVICE_DURATIONS.append(time.time() - t_start)
                 return parsed
         print(
             f"# bench {which} attempt {attempt} failed rc={proc.returncode}: "
@@ -398,6 +401,17 @@ def _measure_in_subprocess(which: str, tries: int = 2, extra_env=None,
         if attempt < tries - 1 and _remaining() > 300:
             time.sleep(60)
     return None
+
+
+_DEVICE_DURATIONS = []  # successful device-measurement wall times
+
+
+def _device_est(default=540.0):
+    """Adaptive worst-case estimate for the next device measurement: the
+    slowest observed success (+10%), once one exists."""
+    if _DEVICE_DURATIONS:
+        return max(_DEVICE_DURATIONS) * 1.1
+    return default
 
 
 def _measure_fps(which, tries=2, extra_env=None):
@@ -531,14 +545,14 @@ def main():
 
     # 3..n extras, strictly time-permitting, cheapest-information-first;
     #    each success immediately re-emits the full line.  A device
-    #    measurement behind this tunnel is wait + ~7 min compile + reps.
-    DEVICE_EST = 540
-    if _remaining() > DEVICE_EST and st["fwd"] is None:
+    #    measurement behind this tunnel is wait + ~7 min compile + reps;
+    #    once one succeeded, the estimate adapts to the observed durations.
+    if _remaining() > _device_est() and st["fwd"] is None:
         st["fwd"] = _measure_fps("forward", tries=1)
         if st["fwd"] is not None:
             emit()
     for b in sweep:
-        if _remaining() < DEVICE_EST:
+        if _remaining() < _device_est():
             break
         fps = _measure_fps("train", tries=1, extra_env={"BENCH_BATCH": str(b)})
         if fps is not None:
@@ -547,11 +561,11 @@ def main():
                     and _remaining() > 240:
                 flops_for(b)  # keep mfu tied to the (new) headline batch
             emit()
-    if _remaining() > DEVICE_EST:
+    if _remaining() > _device_est():
         st["feat"] = _measure_fps("train_feat", tries=1)
         if st["feat"] is not None:
             emit()
-    if st["feat"] is not None and _remaining() > DEVICE_EST:
+    if st["feat"] is not None and _remaining() > _device_est():
         # feature mode has no conv activations, so the per-chip batch can
         # grow to amortize the sequential LSTM latency (r3: ~1.5x at B=16)
         st["feat16"] = _measure_fps("train_feat", tries=1,

@@ -1,6 +1,10 @@
-"""bench.py driver contract: ONE JSON line with numeric value/vs_baseline,
-train-step headline (best config of the batch sweep), forward fallback on
-partial failure, and MFU/TFLOPs efficiency fields."""
+"""bench.py driver contract: every stdout line is a self-contained JSON
+object and the LAST line (what the driver parses) carries the final
+best-so-far result — train-step headline (best config of the batch sweep),
+forward fallback on partial failure, and MFU/TFLOPs efficiency fields.
+Incremental re-emission after every successful measurement is intentional:
+it is what makes a mid-run driver timeout lose only the extras, never the
+headline (BENCH_r04 rc=124 post-mortem)."""
 
 import json
 import sys
@@ -32,7 +36,12 @@ def _run_main(train_fps, fwd_fps, capsys, monkeypatch, train_b8=None):
          ):
         bench.main()
     out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 1, "bench must print exactly ONE line"
+    assert out, "bench must print at least one JSON line"
+    # Every emitted line must itself be valid JSON with the scored fields,
+    # so a driver that cuts the run short still parses a complete result.
+    for line in out:
+        partial = json.loads(line)
+        assert "value" in partial and "vs_baseline" in partial
     return json.loads(out[-1])
 
 
