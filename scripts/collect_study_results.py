@@ -50,6 +50,28 @@ def wilson(p, n, z=1.96):
     return max(centre - half, 0.0), min(centre + half, 1.0)
 
 
+def fisher_greater(k1, n1, k2, n2):
+    """One-sided Fisher exact test P(successes_1 >= k1 | margins fixed)
+    under the null of equal rates — the hypergeometric upper tail,
+    dependency-free via math.comb.  Used for the grounding claim
+    (true-instruction successes vs shuffled-instruction successes at the
+    same checkpoint)."""
+    K = k1 + k2
+    denom = math.comb(n1 + n2, K)
+    return sum(
+        math.comb(n1, k) * math.comb(n2, K - k)
+        for k in range(k1, min(n1, K) + 1)
+    ) / denom
+
+
+def _successes(r):
+    """(success count, episode count) for a row that knows its N."""
+    n, v = r.get("episodes"), r.get("success")
+    if not n or v is None:
+        return None
+    return int(round(float(v) * n)), int(n)
+
+
 def fmt_rate(r, col="success"):
     """'0.29 [0.13, 0.51]/24' when the row knows its episode count."""
     v = r.get(col)
@@ -200,22 +222,29 @@ def summary(rows):
     lines.append("\n### Grounding control (best val_unseen checkpoint vs "
                  "the SAME epoch shuffled, plus baselines)\n")
     lines.append("| arm | model | condition | epoch | success (95% CI) "
-                 "| spl | ndtw |")
-    lines.append("|---|---|---|---|---|---|---|")
+                 "| spl | ndtw | Fisher p (one-sided, true>this) |")
+    lines.append("|---|---|---|---|---|---|---|---|")
     for arm, m in _learned(rows):
         b = _best(rows, arm, m, "val_unseen")
         if not b:
             continue
         lines.append(
             f"| {arm} | {m} | true instructions | {b.get('epoch')} "
-            f"| {fmt_rate(b)} | {b.get('spl')} | {b.get('ndtw')} |"
+            f"| {fmt_rate(b)} | {b.get('spl')} | {b.get('ndtw')} | — |"
         )
         s = _at_epoch(rows, arm, m, "val_unseen_shuffled", b.get("epoch")) \
             or _final(rows, arm, m, "val_unseen_shuffled")
         if s:
+            kb, ks = _successes(b), _successes(s)
+            if kb and ks:
+                pv = fisher_greater(kb[0], kb[1], ks[0], ks[1])
+                p = f"{pv:.2e}" if pv < 1e-3 else f"{pv:.4f}"
+            else:
+                p = "—"
             lines.append(
                 f"| {arm} | {m} | shuffled instructions | {s.get('epoch')} "
-                f"| {fmt_rate(s)} | {s.get('spl')} | {s.get('ndtw')} |"
+                f"| {fmt_rate(s)} | {s.get('spl')} | {s.get('ndtw')} "
+                f"| {p} |"
             )
     seen = set()
     for r in rows:
@@ -227,7 +256,7 @@ def summary(rows):
                  else "random baseline")
         lines.append(
             f"| — | {m} | {label} | — | {fmt_rate(r)} "
-            f"| {r.get('spl')} | {r.get('ndtw')} |"
+            f"| {r.get('spl')} | {r.get('ndtw')} | — |"
         )
 
     host = [r for r in rows if r.get("split") == "val_unseen_host"]

@@ -103,3 +103,28 @@ def test_missing_arm_dir_fails_loudly(tmp_path):
     empty.mkdir()
     with pytest.raises(SystemExit, match="arm_never_ran"):
         csr.load_rows([d1, str(empty)])
+
+
+def test_fisher_exact_one_sided():
+    # hand-checked 2x2: 15/48 true vs 5/48 shuffled (the ground_cma_r4_n48
+    # table) -> one-sided p ~= 0.022; symmetry and degenerate cases
+    p = csr.fisher_greater(15, 48, 5, 48)
+    assert 0.01 < p < 0.03
+    assert csr.fisher_greater(0, 10, 0, 10) == pytest.approx(1.0)
+    assert csr.fisher_greater(10, 10, 0, 10) < 1e-4
+    # equal arms: P(X >= k) includes the observed table, p > 0.5
+    assert csr.fisher_greater(5, 10, 5, 10) > 0.5
+
+
+def test_grounding_table_carries_fisher_p(tmp_path):
+    d = _arm(tmp_path, "arm_a", "cma", [(0, 0.1), (3, 0.625)])
+    rows = csr.load_rows([d])
+    text = csr.summary(rows)
+    assert "Fisher p (one-sided, true>this)" in text
+    # shuffled rows are 0.1 over 24 eps (helper); true best is 15/24 vs 2/24
+    line = next(l for l in text.splitlines()
+                if "shuffled instructions" in l)
+    p = float(line.rstrip("|").rsplit("|", 1)[-1].strip())
+    assert p == pytest.approx(
+        csr.fisher_greater(15, 24, 2, 24), rel=0.01)
+    assert p < 0.01
